@@ -1,0 +1,147 @@
+"""Tiled rasterizer vs naive oracle: images and gradients allclose.
+
+Mirrors the reference's validation strategy (tests/test_rasterization.cpp:611 grades rendered
+images at 1e-2; SURVEY.md §4) — oracle here is ops/reference.py (pure-jnp O(N*P) blend).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_splat.ops.rasterize import rasterize
+from tpu_splat.ops.reference import render_naive as _render_naive
+
+from utils import make_camera, make_scene
+
+render_naive = functools.partial(
+    jax.jit(_render_naive, static_argnames=("width", "height", "active_sh_degree"))
+)
+
+
+def _render_both(scene, cam, sh_degree=3, bg=None, max_instances=1 << 14, k_max=256):
+    args = (
+        scene["means"], scene["scaling_raw"], scene["rotation_raw"], scene["opacity_raw"],
+        scene["sh0"], scene["shN"], scene["alive"],
+        cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+    )
+    out = rasterize(
+        *args, sh_degree, bg,
+        width=cam["width"], height=cam["height"],
+        max_instances=max_instances, k_max=k_max, chunk=32,
+    )
+    img_ref, alpha_ref = render_naive(
+        *args, width=cam["width"], height=cam["height"],
+        active_sh_degree=sh_degree, bg_color=bg,
+    )
+    assert int(out.aux.total_instances) <= max_instances, "instance budget overflow in test"
+    assert int(out.aux.max_tile_count) <= k_max, "tile list truncated in test"
+    return out, img_ref, alpha_ref
+
+
+@pytest.mark.parametrize("n,seed,k_max", [(50, 0, 256), (500, 1, 256), (2000, 2, 1024)])
+def test_tiled_matches_naive(n, seed, k_max):
+    scene = make_scene(n, seed)
+    cam = make_camera(64, 48)
+    out, img_ref, alpha_ref = _render_both(scene, cam, k_max=k_max)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(img_ref), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(alpha_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_background_compositing():
+    scene = make_scene(200, 3)
+    cam = make_camera(32, 32)
+    bg = jnp.array([0.2, 0.5, 0.9], jnp.float32)
+    out, img_ref, _ = _render_both(scene, cam, bg=bg)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(img_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_nonsquare_image_with_partial_tiles():
+    scene = make_scene(300, 4)
+    cam = make_camera(70, 45)  # not multiples of 16
+    out, img_ref, alpha_ref = _render_both(scene, cam)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(img_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_gradients_match_naive():
+    scene = make_scene(300, 5)
+    cam = make_camera(48, 32)
+    gt = jnp.asarray(np.random.default_rng(9).random((3, 32, 48), np.float32))
+
+    def loss_tiled(means, scaling, rot, opac, sh0, shN):
+        out = rasterize(
+            means, scaling, rot, opac, sh0, shN, scene["alive"],
+            cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+            3, None,
+            width=cam["width"], height=cam["height"],
+            max_instances=1 << 14, k_max=256, chunk=32,
+        )
+        return jnp.mean(jnp.abs(out.image - gt))
+
+    def loss_naive(means, scaling, rot, opac, sh0, shN):
+        img, _ = render_naive(
+            means, scaling, rot, opac, sh0, shN, scene["alive"],
+            cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+            width=cam["width"], height=cam["height"], active_sh_degree=3,
+        )
+        return jnp.mean(jnp.abs(img - gt))
+
+    args = (scene["means"], scene["scaling_raw"], scene["rotation_raw"],
+            scene["opacity_raw"], scene["sh0"], scene["shN"])
+    g_tiled = jax.grad(loss_tiled, argnums=tuple(range(6)))(*args)
+    g_naive = jax.grad(loss_naive, argnums=tuple(range(6)))(*args)
+    names = ["means", "scaling", "rotation", "opacity", "sh0", "shN"]
+    for name, gt_, gn_ in zip(names, g_tiled, g_naive):
+        gt_, gn_ = np.asarray(gt_), np.asarray(gn_)
+        scale = max(np.abs(gn_).max(), 1e-8)
+        np.testing.assert_allclose(gt_, gn_, atol=2e-4 * scale + 1e-9, rtol=1e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_finite_difference_gradcheck():
+    """Float64 finite-difference check through the full tiled pipeline — the one gradient
+    test fully independent of the autodiff path (cf. tests/test_numerical_gradients.cpp:87-462)."""
+    scene = make_scene(40, 6)
+    cam = make_camera(32, 32)
+    gt = np.random.default_rng(10).random((3, 32, 32))
+
+    with jax.enable_x64():
+        def loss(means):
+            out = rasterize(
+                means, scene["scaling_raw"].astype(np.float64),
+                scene["rotation_raw"].astype(np.float64),
+                scene["opacity_raw"].astype(np.float64),
+                scene["sh0"].astype(np.float64), scene["shN"].astype(np.float64),
+                scene["alive"],
+                np.float64(cam["w2c"]), np.float64(cam["cam_position"]),
+                cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                3, None,
+                width=32, height=32, max_instances=1 << 14, k_max=256, chunk=32,
+            )
+            return jnp.sum((out.image - jnp.asarray(gt)) ** 2)
+
+        means = scene["means"].astype(np.float64)
+        g = np.asarray(jax.grad(loss)(means))
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            i = rng.integers(0, means.shape[0])
+            j = rng.integers(0, 3)
+            eps = 1e-6
+            mp = means.copy(); mp[i, j] += eps
+            mm = means.copy(); mm[i, j] -= eps
+            fd = (float(loss(mp)) - float(loss(mm))) / (2 * eps)
+            assert abs(fd - g[i, j]) <= 1e-4 * max(abs(fd), abs(g[i, j]), 1.0), (
+                f"FD mismatch at ({i},{j}): fd={fd} ad={g[i, j]}"
+            )
+
+
+def test_dead_slots_do_not_render():
+    scene = make_scene(200, 7)
+    scene["alive"][100:] = False
+    cam = make_camera(32, 32)
+    out, img_ref, _ = _render_both(scene, cam)
+    scene2 = {k: (v[:100] if k != "shN" else v[:100]) for k, v in scene.items()}
+    out2, _, _ = _render_both(scene2, cam)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(out2.image), atol=1e-6)
