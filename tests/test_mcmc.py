@@ -1,0 +1,140 @@
+"""MCMC strategy mechanics + end-to-end train_step integration on a synthetic scene
+(mirrors tests/test_mcmc.cpp: init, grad flow, noise injection, refinement cycles,
+post-op render consistency)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splat.core.splat import init_from_pointcloud
+from tpu_splat.training import strategy_mcmc
+from tpu_splat.training.optim import init_adam_state
+from tpu_splat.training.train_step import (
+    RasterPlan, StepConfig, TrainState, refine_step, train_step,
+)
+
+from utils import make_camera
+
+
+def _make_state(n=100, capacity=256, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0, 0.8, (n, 3)).astype(np.float32)
+    pts[:, 2] += 5
+    cols = rng.random((n, 3)).astype(np.float32)
+    return init_from_pointcloud(pts, cols, np.array([0, 0, 5.0]), capacity=capacity)
+
+
+def test_relocate_replaces_dead():
+    state = _make_state()
+    # kill 20 gaussians by forcing opacity below threshold
+    op = np.asarray(state.opacity_raw).copy()
+    op[10:30] = -10.0  # sigmoid ~ 4.5e-5 <= 0.005
+    state = dataclasses.replace(state, opacity_raw=jnp.asarray(op))
+    adam = init_adam_state(state.params())
+    adam = dataclasses.replace(
+        adam, exp_avg={k: jnp.ones_like(v) for k, v in adam.exp_avg.items()}
+    )
+
+    new_state, new_adam, n_dead = strategy_mcmc.relocate_gs(
+        state, adam, jax.random.key(0), min_opacity=0.005
+    )
+    assert int(n_dead) == 20
+    new_op = jax.nn.sigmoid(new_state.opacity_raw[:100, 0])
+    assert float(new_op.min()) >= 0.005 - 1e-6  # dead slots got live opacities
+    # alive set unchanged by relocation
+    np.testing.assert_array_equal(np.asarray(new_state.alive), np.asarray(state.alive))
+    # moments zeroed at sampled sources (some rows), not everywhere
+    ea = np.asarray(new_adam.exp_avg["means"])
+    assert (ea[:100] == 0).all(axis=1).sum() > 0
+    assert (ea[:100] == 1).all(axis=1).sum() > 0
+
+
+def test_add_new_grows_5pct():
+    state = _make_state(n=100, capacity=256)
+    adam = init_adam_state(state.params())
+    new_state, _, n_new = strategy_mcmc.add_new_gs(
+        state, adam, jax.random.key(1), max_cap=1000, min_opacity=0.005
+    )
+    # static_cast<int>(1.05f * 100) == 104 in the reference (f32 truncation, mcmc.cpp:201)
+    assert int(n_new) == 4
+    assert int(new_state.n_alive()) == 104
+    # claimed slots must hold real (copied) params, not padding
+    claimed = np.asarray(new_state.means)[100:105]
+    assert np.abs(claimed).sum() > 0
+
+
+def test_add_new_respects_max_cap():
+    state = _make_state(n=100, capacity=128)
+    adam = init_adam_state(state.params())
+    new_state, _, n_new = strategy_mcmc.add_new_gs(
+        state, adam, jax.random.key(1), max_cap=102, min_opacity=0.005
+    )
+    assert int(n_new) == 2
+    assert int(new_state.n_alive()) == 102
+
+
+def test_inject_noise_moves_low_opacity_only():
+    state = _make_state()
+    op = np.asarray(state.opacity_raw).copy()
+    op[:50] = 4.0  # opacity ~0.98 -> gate ~ 0
+    op[50:100] = -8.0  # opacity ~3e-4 -> gate ~ 1
+    state = dataclasses.replace(state, opacity_raw=jnp.asarray(op))
+    moved = strategy_mcmc.inject_noise(state, jax.random.key(2), current_means_lr=1e-4)
+    delta = np.linalg.norm(np.asarray(moved.means - state.means), axis=1)
+    assert delta[:50].max() < 1e-8  # opaque: gated off
+    assert delta[50:100].mean() > delta[:50].max()  # transparent: jittered
+    assert delta[100:].max() == 0  # dead pool untouched
+
+
+def test_is_refining_window():
+    f = strategy_mcmc.is_refining
+    assert not f(500, 500, 25000, 100)  # strict start
+    assert f(600, 500, 25000, 100)
+    assert not f(650, 500, 25000, 100)
+    assert not f(25000, 500, 25000, 100)  # strict stop
+    assert f(24900, 500, 25000, 100)
+
+
+def test_train_step_end_to_end_improves():
+    """Full pipeline: train_step + periodic refine_step fit a reference rendering."""
+    state = _make_state(n=150, capacity=256, seed=3)
+    cam = make_camera(48, 48)
+    plan = RasterPlan(max_instances=1 << 14, k_max=256, chunk=32)
+    cfg = StepConfig(strategy="mcmc")
+
+    # ground truth = render of a perturbed copy (realizable target)
+    from tpu_splat.ops.reference import render_naive
+
+    gt_img, _ = render_naive(
+        state.means, state.scaling_raw, state.rotation_raw,
+        jnp.asarray(np.asarray(state.opacity_raw) + 1.0),
+        jnp.asarray(np.asarray(state.sh0) * 0.5 + 0.3), state.shN, state.alive,
+        cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+        width=48, height=48, active_sh_degree=3, bg_color=jnp.zeros(3),
+    )
+    gt_img = jax.lax.stop_gradient(gt_img)
+
+    ts = TrainState(
+        splat=state,
+        adam=init_adam_state(state.params()),
+        rng=jax.random.key(4),
+        iteration=jnp.int32(1),
+    )
+    losses = []
+    for i in range(1, 61):
+        ts, stats = train_step(
+            ts, gt_img, cam["w2c"], cam["cam_position"],
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], jnp.zeros(3),
+            width=48, height=48, plan=plan, opt=cfg, total_iterations=100,
+        )
+        losses.append(float(stats.loss))
+        if strategy_mcmc.is_refining(i, start=10, stop=100, every=25):
+            ts, info = refine_step(ts, min_opacity=0.005, max_cap=200)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+    assert int(ts.iteration) == 61
+    assert int(ts.splat.n_alive()) > 150  # growth happened
+    # densification info populated
+    assert float(jnp.max(stats.screen_grad_norm)) > 0
