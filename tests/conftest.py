@@ -7,13 +7,15 @@ multi-host test story — the reference has none).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# NOTE: the axon TPU plugin overrides the JAX_PLATFORMS env var at import time; the config
+# update below is the reliable way to force the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: XLA-CPU compiles are slow on this 1-core host; cache across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpu_splat_jax_cache")

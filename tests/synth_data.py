@@ -1,0 +1,104 @@
+"""Synthetic COLMAP dataset generator for integration tests: random gaussians rendered by
+the oracle from several viewpoints, written in genuine COLMAP binary format + PNGs.
+Plays the role of the reference's tests/data/test_garden_data.pt fixture (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+
+def look_at_w2c(eye, target, up=(0, 1, 0)):
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    fwd = target - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    r = np.stack([right, down, fwd])  # rows: camera axes (x right, y down, z forward)
+    t = -r @ eye
+    return r.astype(np.float32), t.astype(np.float32)
+
+
+def rotmat_to_qvec(r):
+    from scipy.spatial.transform import Rotation
+
+    x, y, z, w = Rotation.from_matrix(np.asarray(r, np.float64)).as_quat()
+    return np.array([w, x, y, z])
+
+
+def write_colmap_binary(base: Path, cams: list[dict], points: np.ndarray, colors: np.ndarray):
+    sparse = base / "sparse" / "0"
+    sparse.mkdir(parents=True, exist_ok=True)
+
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for i, c in enumerate(cams):
+            f.write(struct.pack("<iiQQ", i + 1, 1, c["width"], c["height"]))  # PINHOLE
+            f.write(struct.pack("<4d", c["fx"], c["fy"], c["cx"], c["cy"]))
+
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", len(cams)))
+        for i, c in enumerate(cams):
+            q = rotmat_to_qvec(c["R"])
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *q))
+            f.write(struct.pack("<3d", *c["T"].astype(np.float64)))
+            f.write(struct.pack("<i", i + 1))
+            f.write(c["name"].encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))  # no 2D points
+
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", points.shape[0]))
+        for i in range(points.shape[0]):
+            f.write(struct.pack("<Q", i + 1))
+            f.write(struct.pack("<3d", *points[i].astype(np.float64)))
+            f.write(struct.pack("<3B", *np.clip(colors[i] * 255, 0, 255).astype(np.uint8)))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 0))  # empty track
+
+
+def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0):
+    """Render a random gaussian cloud with the oracle from a ring of cameras."""
+    import jax.numpy as jnp
+
+    from tpu_splat.ops.reference import render_naive
+    from utils import make_scene
+
+    base = Path(base)
+    rng = np.random.default_rng(seed)
+    scene = make_scene(n_gauss, seed)
+    center = np.array([0, 0, 5.0], np.float32)
+
+    cams = []
+    (base / "images").mkdir(parents=True, exist_ok=True)
+    f = 0.7 * size
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        eye = center + np.array([2.5 * np.sin(ang), 0.4, 2.5 * np.cos(ang) - 0.0])
+        r, t = look_at_w2c(eye, center)
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = r
+        w2c[:3, 3] = t
+        img, _ = render_naive(
+            scene["means"], scene["scaling_raw"], scene["rotation_raw"],
+            scene["opacity_raw"], scene["sh0"], scene["shN"], scene["alive"],
+            w2c, eye.astype(np.float32), f, f, size / 2.0, size / 2.0,
+            width=size, height=size, active_sh_degree=3, bg_color=jnp.zeros(3),
+        )
+        name = f"img_{i:03d}.png"
+        from tpu_splat.io.image import save_image
+
+        save_image(str(base / "images" / name), np.asarray(img))
+        cams.append(dict(R=r, T=t, fx=f, fy=f, cx=size / 2.0, cy=size / 2.0,
+                         width=size, height=size, name=name))
+
+    # SfM points: subsample of gaussian centers with oracle colors
+    idx = rng.permutation(n_gauss)[: n_gauss // 2]
+    pts = scene["means"][idx]
+    cols = np.clip(0.5 + 0.2820948 * scene["sh0"][idx, 0], 0, 1)
+    write_colmap_binary(base, cams, pts, cols)
+    return scene

@@ -1,0 +1,341 @@
+"""Trainer orchestration: dataset split, train loop, plan adaptation, eval/save hooks.
+
+Mirrors src/training/trainer.cpp + training_setup.cpp:14-129 — but functional: TrainState is
+a pytree; the host loop only moves scalars. Instance-budget management replaces the
+reference's per-step D2H count syncs (forward.cu:99-101,175): the step reports counters,
+the host checks them with a small lag (keeping the dispatch pipeline deep) and ROLLS BACK +
+re-runs any step whose conservative budget overflowed (states are immutable, so rollback is
+free — an upgrade over the reference, which cannot replay a step).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TrainingParameters
+from ..core.splat import SplatState, init_from_pointcloud, init_random
+from ..io.loader import LoadResult, load
+from ..io.ply import save_splat_ply
+from ..ops.rasterize import rasterize
+from ..utils.log import get_logger
+from . import strategy_mcmc
+from .dataset import CameraDataset, InfiniteDataLoader, split_cameras
+from .metrics import MetricsEvaluator
+from .optim import init_adam_state
+from .train_step import RasterPlan, StepConfig, TrainState, refine_step, train_step
+
+log = get_logger(__name__)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(math.ceil(math.log2(max(x, 1)))), 0)
+
+
+def _sine_background(step: int, jitter: np.random.Generator) -> np.ndarray:
+    """sine_background_for_step (trainer.cpp:497-537): phase-shifted RGB + jitter."""
+    two_pi = 2.0 * math.pi
+    periods = (37, 41, 43)
+    phases = [two_pi * ((step % p) / p) for p in periods]
+    rgb = np.array(
+        [
+            0.5 * (1.0 + math.sin(phases[0])),
+            0.5 * (1.0 + math.sin(phases[1] + two_pi / 3.0)),
+            0.5 * (1.0 + math.sin(phases[2] + 2.0 * two_pi / 3.0)),
+        ],
+        np.float32,
+    )
+    rgb = rgb + (jitter.random(3).astype(np.float32) - 0.5) * 0.06
+    return np.clip(rgb, 1e-4, 1.0 - 1e-4)
+
+
+def _inv_weight_piecewise(step: int, max_steps: int) -> float:
+    """Background-mix weight schedule (trainer.cpp:474-496)."""
+    phase = max(0.0, min(1.0, step / max(1, max_steps)))
+    if phase < 0.25:
+        return 1.0
+    if phase < 0.5:
+        return 1.0 + (0.5 - 1.0) * (phase - 0.25) / 0.25
+    return max(0.0, 0.5 + (0.0 - 0.5) * (phase - 0.5) / 0.25)
+
+
+@dataclass
+class PendingStep:
+    iteration: int
+    prev_state: TrainState
+    stats: object  # StepStats (device arrays, fetched lazily)
+    plan: RasterPlan
+
+
+class Trainer:
+    def __init__(self, params: TrainingParameters, load_result: Optional[LoadResult] = None):
+        self.params = params
+        opt = params.optimization.apply_steps_scaler()
+        self.opt = opt
+        self.step_cfg = StepConfig.from_params(opt)
+
+        if load_result is None:
+            load_result = load(params.dataset.data_path, params.dataset.images, opt.rc)
+        if load_result.scene is None:
+            raise ValueError("Training requires a camera dataset (COLMAP/Blender), got a model file")
+        scene = load_result.scene
+
+        split = "train" if opt.enable_eval else "all"
+        self.train_cams = split_cameras(scene.cameras, params.dataset.test_every, split)
+        self.val_cams = (
+            split_cameras(scene.cameras, params.dataset.test_every, "val")
+            if opt.enable_eval
+            else []
+        )
+        self.train_dataset = CameraDataset(
+            self.train_cams, params.dataset.resize_factor, params.dataset.max_width
+        )
+        self.val_dataset = CameraDataset(
+            self.val_cams, params.dataset.resize_factor, params.dataset.max_width
+        )
+
+        # model init (training_setup.cpp:50-117): SfM points, --init-ply, or random
+        capacity = _next_pow2(max(opt.max_cap, 1))
+        if params.init_ply:
+            from ..io.ply import load_splat_ply
+
+            raw = load_splat_ply(params.init_ply)
+            n = raw["means"].shape[0]
+            capacity = max(capacity, _next_pow2(n))
+            splat = self._state_from_raw(raw, scene.scene_center, capacity, opt.sh_degree)
+        elif opt.random or scene.points.shape[0] == 0:
+            rng = np.random.default_rng(42)
+            splat = init_random(
+                rng, opt.init_num_pts, opt.init_extent, capacity,
+                scene.scene_center, opt.sh_degree, opt.init_opacity, opt.init_scaling,
+            )
+        else:
+            capacity = max(capacity, _next_pow2(scene.points.shape[0]))
+            splat = init_from_pointcloud(
+                scene.points, scene.colors, scene.scene_center, capacity,
+                opt.sh_degree, opt.init_opacity, opt.init_scaling,
+            )
+
+        self.state = TrainState(
+            splat=splat,
+            adam=init_adam_state(splat.params()),
+            rng=jax.random.key(0),
+            iteration=jnp.int32(1),
+        )
+        n0 = int(splat.n_alive())
+        self.plan = RasterPlan(
+            max_instances=max(_next_pow2(n0 * 8), 1 << 16),
+            k_max=1 << 12,
+            chunk=64,
+            tile_size=opt.tile_size,
+        )
+        self.evaluator = MetricsEvaluator(params.dataset.output_path or ".")
+        self._bg_rng = np.random.default_rng(1234)
+        self._loss_hist: list[float] = []
+        log.info(
+            "Trainer ready: %d train / %d val cameras, %d gaussians, capacity %d, scene_scale %.3f",
+            len(self.train_cams), len(self.val_cams), n0, splat.capacity, splat.scene_scale,
+        )
+
+    @staticmethod
+    def _state_from_raw(raw: dict, scene_center, capacity: int, sh_degree: int) -> SplatState:
+        import dataclasses as dc
+
+        n = raw["means"].shape[0]
+        dists = np.linalg.norm(raw["means"] - np.asarray(scene_center)[None], axis=1)
+        state = init_from_pointcloud(
+            raw["means"], np.zeros((n, 3), np.float32), scene_center, capacity, sh_degree
+        )
+        pads = {}
+        for k, v in raw.items():
+            cur = np.asarray(getattr(state, k))
+            cur[:n] = v
+            pads[k] = jnp.asarray(cur)
+        return dc.replace(state, **pads)
+
+    # ------------------------------------------------------------------ train
+
+    def background_for_step(self, iteration: int) -> np.ndarray:
+        bg = np.zeros(3, np.float32)  # base background is black (trainer.cpp:363)
+        if not self.opt.bg_modulation:
+            return bg
+        w = _inv_weight_piecewise(iteration, self.opt.iterations)
+        if w <= 0:
+            return bg
+        return (1.0 - w) * bg + w * _sine_background(iteration, self._bg_rng)
+
+    def _dispatch_step(self, sample, iteration: int) -> PendingStep:
+        prev = self.state
+        cam = sample.camera
+        self.state, stats = train_step(
+            self.state,
+            jnp.asarray(sample.image),
+            jnp.asarray(cam.world_view_transform),
+            jnp.asarray(cam.cam_position),
+            sample.fx, sample.fy, sample.cx, sample.cy,
+            jnp.asarray(self.background_for_step(iteration)),
+            width=cam.image_width, height=cam.image_height,
+            plan=self.plan, opt=self.step_cfg,
+            total_iterations=self.opt.iterations,
+        )
+        return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
+
+    def _check_pending(self, pending: PendingStep) -> bool:
+        """Validate a completed step's budget counters; grow plan / request redo."""
+        total = int(pending.stats.total_instances)
+        max_tile = int(pending.stats.max_tile_count)
+        plan = pending.plan
+        redo = False
+        new_plan = plan
+        if total > plan.max_instances:
+            new_plan = RasterPlan(
+                max_instances=_next_pow2(int(total * 1.3)),
+                k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
+            )
+            redo = True
+        elif total > 0.85 * plan.max_instances:
+            new_plan = RasterPlan(
+                max_instances=plan.max_instances * 2,
+                k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
+            )
+        if max_tile > new_plan.k_max:
+            new_plan = RasterPlan(
+                max_instances=new_plan.max_instances,
+                k_max=_next_pow2(int(max_tile * 1.3)), chunk=plan.chunk, tile_size=plan.tile_size,
+            )
+            redo = True
+        elif max_tile > 0.85 * new_plan.k_max:
+            new_plan = RasterPlan(
+                max_instances=new_plan.max_instances,
+                k_max=new_plan.k_max * 2, chunk=plan.chunk, tile_size=plan.tile_size,
+            )
+        if new_plan != plan:
+            log.info(
+                "raster plan %s -> %s at iter %d (instances %d, max tile %d)%s",
+                (plan.max_instances, plan.k_max), (new_plan.max_instances, new_plan.k_max),
+                pending.iteration, total, max_tile, " [REDO]" if redo else "",
+            )
+            self.plan = new_plan
+        return redo
+
+    def train(self, progress_every: int = 100) -> None:
+        opt = self.opt
+        loader = InfiniteDataLoader(
+            self.train_dataset, num_workers=min(opt.num_workers, 8), seed=7
+        )
+        out_dir = Path(self.params.dataset.output_path or "output")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        pending: list[PendingStep] = []
+        t0 = time.time()
+        it = 1
+        try:
+            while it <= opt.iterations:
+                sample = next(loader)
+                p = self._dispatch_step(sample, it)
+                pending.append(p)
+
+                # lagged budget check keeps 2 steps in flight
+                if len(pending) >= 2:
+                    chk = pending.pop(0)
+                    if self._check_pending(chk):
+                        # rollback and replay from the overflowing step
+                        self.state = chk.prev_state
+                        it = chk.iteration
+                        pending.clear()
+                        continue
+                    self._loss_hist.append(float(chk.stats.loss))
+
+                if strategy_mcmc.is_refining(
+                    it, opt.start_refine, opt.stop_refine, opt.refine_every
+                ) and opt.strategy == "mcmc":
+                    # flush pending checks before topology changes
+                    for chk in pending:
+                        if self._check_pending(chk):
+                            self.state = chk.prev_state
+                            it = chk.iteration
+                            pending.clear()
+                            break
+                        self._loss_hist.append(float(chk.stats.loss))
+                    else:
+                        pending.clear()
+                        self.state, info = refine_step(
+                            self.state, min_opacity=opt.min_opacity, max_cap=opt.max_cap
+                        )
+                    if pending:
+                        continue
+
+                if it % progress_every == 0 and self._loss_hist:
+                    rate = it / (time.time() - t0)
+                    log.info(
+                        "iter %d/%d loss %.4f alive %d %.2f it/s",
+                        it, opt.iterations, self._loss_hist[-1],
+                        int(self.state.splat.n_alive()), rate,
+                    )
+                if opt.enable_eval and it in opt.eval_steps:
+                    self.evaluate(it)
+                if it in opt.save_steps and not opt.skip_intermediate_saving and it != opt.iterations:
+                    self.save_ply(out_dir / f"splat_{it}.ply")
+                it += 1
+
+            for chk in pending:
+                if not self._check_pending(chk):
+                    self._loss_hist.append(float(chk.stats.loss))
+            self.save_ply(out_dir / "splat_final.ply")
+            if opt.enable_eval:
+                self.evaluator.save_report()
+        finally:
+            loader.close()
+
+    # ------------------------------------------------------------- eval/save
+
+    def render_camera(self, sample) -> jnp.ndarray:
+        cam = sample.camera
+        splat = self.state.splat
+        it = int(self.state.iteration)
+        sh_deg = min(it // self.opt.sh_degree_interval, splat.max_sh_degree)
+        out = rasterize(
+            splat.means, splat.scaling_raw, splat.rotation_raw, splat.opacity_raw,
+            splat.sh0, splat.shN, splat.alive,
+            jnp.asarray(cam.world_view_transform), jnp.asarray(cam.cam_position),
+            sample.fx, sample.fy, sample.cx, sample.cy,
+            sh_deg, jnp.zeros(3, jnp.float32),
+            width=cam.image_width, height=cam.image_height,
+            max_instances=self.plan.max_instances, k_max=self.plan.k_max,
+            chunk=self.plan.chunk, tile_size=self.plan.tile_size,
+        )
+        return out.image
+
+    def evaluate(self, iteration: int):
+        samples = (self.val_dataset.get(i) for i in range(len(self.val_dataset)))
+        result = self.evaluator.evaluate(
+            iteration, self.render_camera, samples,
+            save_images=self.opt.enable_save_eval_images,
+        )
+        log.info(
+            "eval @%d: PSNR %.3f SSIM %.4f LPIPS %s (%d imgs, %.1fs)",
+            iteration, result.psnr, result.ssim,
+            f"{result.lpips:.4f}" if result.lpips is not None else "n/a",
+            result.num_images, result.elapsed_s,
+        )
+        return result
+
+    def save_ply(self, path: str | Path) -> None:
+        splat = self.state.splat
+        alive = np.asarray(splat.alive)
+        save_splat_ply(
+            path,
+            np.asarray(splat.means)[alive],
+            np.asarray(splat.sh0)[alive],
+            np.asarray(splat.shN)[alive],
+            np.asarray(splat.scaling_raw)[alive],
+            np.asarray(splat.rotation_raw)[alive],
+            np.asarray(splat.opacity_raw)[alive],
+        )
+        log.info("saved %d gaussians to %s", int(alive.sum()), path)
