@@ -65,20 +65,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpu_splat.training.optim import init_adam_state
-    from tpu_splat.training.train_step import RasterPlan, StepConfig, TrainState, train_step
+    from tpu_splat.training.train_step import RasterPlan, StepConfig, init_train_state, train_step
 
     n_gauss = int(float(__import__("os").environ.get("BENCH_GAUSSIANS", 1_000_000)))
     width, height = 1296, 840  # garden images_4 scale
     warmup, iters = 3, 20
 
     splat, cam = build_workload(n_gauss, width, height)
-    ts = TrainState(
-        splat=splat,
-        adam=init_adam_state(splat.params()),
-        rng=jax.random.key(0),
-        iteration=jnp.int32(1),
-    )
+    ts = init_train_state(splat)
     gt = jnp.asarray(np.random.default_rng(1).random((3, height, width), np.float32))
 
     # size the plan from a probe step
@@ -86,7 +80,7 @@ def main():
     kwargs = dict(width=width, height=height, plan=plan, opt=StepConfig(),
                   total_iterations=30_000)
     args = (gt, cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
-            jnp.zeros(3, jnp.float32))
+            jnp.zeros(3, jnp.float32), jnp.int32(0))
 
     ts_probe, stats = train_step(ts, *args, **kwargs)
     total = int(stats.total_instances)

@@ -13,7 +13,7 @@ from tpu_splat.core.splat import init_from_pointcloud
 from tpu_splat.parallel.mesh import make_mesh, shard_train_state
 from tpu_splat.parallel.step import batched_train_step
 from tpu_splat.training.optim import init_adam_state
-from tpu_splat.training.train_step import RasterPlan, StepConfig, TrainState, refine_step
+from tpu_splat.training.train_step import RasterPlan, StepConfig, init_train_state, refine_step
 
 from utils import make_camera
 
@@ -25,10 +25,7 @@ def _setup(batch=2, capacity=256):
     splat = init_from_pointcloud(
         pts, rng.random((100, 3), np.float32), np.array([0, 0, 5.0]), capacity=capacity
     )
-    ts = TrainState(
-        splat=splat, adam=init_adam_state(splat.params()),
-        rng=jax.random.key(3), iteration=jnp.int32(1),
-    )
+    ts = init_train_state(splat, seed=3)
     cam = make_camera(32, 32)
     gts = jnp.asarray(rng.random((batch, 3, 32, 32), np.float32))
     w2cs = jnp.tile(jnp.asarray(cam["w2c"])[None], (batch, 1, 1))

@@ -35,6 +35,7 @@ class RasterAux(NamedTuple):
     total_instances: jnp.ndarray  # [] int32 — compare against max_instances for overflow
     max_tile_count: jnp.ndarray  # [] int32 — compare against k_max for truncation
     n_visible: jnp.ndarray  # [] int32
+    visible: jnp.ndarray  # [N] bool — per-gaussian visibility (densification info counts)
 
 
 class RenderOutput(NamedTuple):
@@ -178,5 +179,6 @@ def rasterize(
         total_instances=assign.total_instances,
         max_tile_count=assign.max_tile_count,
         n_visible=assign.n_visible,
+        visible=jax.lax.stop_gradient(proj.visible),
     )
     return RenderOutput(image=image, alpha=alpha, aux=aux)

@@ -36,16 +36,12 @@ def make_mesh(devices=None, data: int | None = None) -> Mesh:
 
 def state_shardings(mesh: Mesh, ts: TrainState) -> TrainState:
     """Sharding pytree matching TrainState: capacity axis over 'gauss', rest replicated."""
-    gauss = NamedSharding(mesh, P("gauss"))
-    repl = NamedSharding(mesh, P())
-
-    def leaf_spec(path_leaf):
-        return gauss
-
-    shard_params = {k: gauss for k in ts.splat.params()}
     import dataclasses
 
     from ..training.optim import AdamState
+
+    gauss = NamedSharding(mesh, P("gauss"))
+    repl = NamedSharding(mesh, P())
 
     splat_sh = dataclasses.replace(
         ts.splat,
@@ -57,7 +53,15 @@ def state_shardings(mesh: Mesh, ts: TrainState) -> TrainState:
         exp_avg_sq={k: gauss for k in ts.adam.exp_avg_sq},
         step_count={k: repl for k in ts.adam.step_count},
     )
-    return TrainState(splat=splat_sh, adam=adam_sh, rng=repl, iteration=repl)
+    # optional component states (bilateral grids / pose / ADMM): replicate leaves
+    aux_fields = {}
+    for f in ("bilateral_grids", "bilateral_opt", "pose_params", "pose_opt", "admm"):
+        v = getattr(ts, f)
+        aux_fields[f] = None if v is None else jax.tree.map(lambda _: repl, v)
+    return TrainState(
+        splat=splat_sh, adam=adam_sh, rng=repl, iteration=repl,
+        dens_count=gauss, dens_grad2d=gauss, **aux_fields,
+    )
 
 
 def shard_train_state(mesh: Mesh, ts: TrainState) -> TrainState:

@@ -3,11 +3,13 @@
 NEW functionality vs the single-GPU reference (SURVEY.md §2.3): a batch of B cameras renders
 in parallel (sharded over the mesh "data" axis); parameter gradients are averaged over the
 batch — GSPMD inserts the psum over ICI — and one fused Adam update applies to the
-gaussian-sharded parameters. MCMC noise/refinement run sharded over "gauss".
+gaussian-sharded parameters. MCMC noise/refinement run sharded over "gauss"; ADC
+densification info accumulates summed over the camera batch.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any
 
@@ -15,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rasterize import rasterize
-from ..training import strategy_mcmc
+from ..training import strategy_default, strategy_mcmc
 from ..training.losses import photometric_loss, regularization_losses
 from ..training.optim import adam_step, group_lrs, means_lr_at
 from ..training.train_step import RasterPlan, StepStats, TrainState, active_sh_degree
@@ -42,7 +44,6 @@ def batched_train_step(
     splat = ts.splat
     it = ts.iteration
     sh_deg = active_sh_degree(it, opt.sh_degree_interval, splat.max_sh_degree)
-    batch = gt_images.shape[0]
 
     def one_camera(params, mean2d_offset, gt, w2c, cpos, fx, fy, cx, cy):
         out = rasterize(
@@ -81,12 +82,21 @@ def batched_train_step(
     if opt.strategy == "mcmc":
         new_splat = strategy_mcmc.inject_noise(new_splat, noise_key, lrs["means"])
 
-    new_ts = TrainState(splat=new_splat, adam=new_adam, rng=rng, iteration=it + 1)
+    dens_count, dens_grad2d = ts.dens_count, ts.dens_grad2d
+    if opt.strategy == "default":
+        any_visible = jnp.any(aux.visible, axis=0)  # [C] union over the camera batch
+        dens_count, dens_grad2d = strategy_default.accumulate_densification(
+            dens_count, dens_grad2d, mean2d_grads, any_visible, width, height
+        )
+
+    new_ts = dataclasses.replace(
+        ts, splat=new_splat, adam=new_adam, rng=rng, iteration=it + 1,
+        dens_count=dens_count, dens_grad2d=dens_grad2d,
+    )
     stats = StepStats(
         loss=loss,
         total_instances=jnp.max(aux.total_instances),
         max_tile_count=jnp.max(aux.max_tile_count),
         n_visible=jnp.max(aux.n_visible),
-        screen_grad_norm=jnp.linalg.norm(mean2d_grads, axis=-1),
     )
     return new_ts, stats

@@ -28,6 +28,7 @@ class CameraSample:
     fy: float
     cx: float
     cy: float
+    index: int = 0  # position within this dataset's split (poseopt/bilateral id)
 
 
 def split_cameras(cameras: list[Camera], test_every: int, split: str) -> list[Camera]:
@@ -56,7 +57,7 @@ class CameraDataset:
         h, w = img.shape[1], img.shape[2]
         cam.image_width, cam.image_height = w, h
         fx, fy, cx, cy = cam.intrinsics_for_size(w, h)
-        return CameraSample(camera=cam, image=img, fx=fx, fy=fy, cx=cx, cy=cy)
+        return CameraSample(camera=cam, image=img, fx=fx, fy=fy, cx=cx, cy=cy, index=idx)
 
 
 class InfiniteDataLoader:

@@ -6,6 +6,13 @@ reference's per-step D2H count syncs (forward.cu:99-101,175): the step reports c
 the host checks them with a small lag (keeping the dispatch pipeline deep) and ROLLS BACK +
 re-runs any step whose conservative budget overflowed (states are immutable, so rollback is
 free — an upgrade over the reference, which cannot replay a step).
+
+Schedule hooks (all host-dispatched between steps, against the reference's post_backward):
+  * MCMC: refine (relocate+grow) on the strict (start, stop) window (mcmc.cpp:501-505).
+  * ADC: grow/prune on is_refining (default_strategy.cpp:31-35) + reset_opacity every
+    reset_every iters, both only while iter < stop_refine (:292-309).
+  * ADMM sparsity: init at `iterations`, dual update every 50, final prune at
+    iterations + sparsify_steps (sparsity_optimizer.hpp:101-118, trainer.cpp:622-646).
 """
 
 from __future__ import annotations
@@ -26,11 +33,23 @@ from ..io.loader import LoadResult, load
 from ..io.ply import save_splat_ply
 from ..ops.rasterize import rasterize
 from ..utils.log import get_logger
-from . import strategy_mcmc
+from . import sparsity as sp
+from . import strategy_default, strategy_mcmc
 from .dataset import CameraDataset, InfiniteDataLoader, split_cameras
 from .metrics import MetricsEvaluator
-from .optim import init_adam_state
-from .train_step import RasterPlan, StepConfig, TrainState, refine_step, train_step
+from .train_step import (
+    RasterPlan,
+    StepConfig,
+    TrainState,
+    adc_refine_step,
+    adc_reset_opacity_step,
+    admm_init_step,
+    admm_update_step,
+    init_train_state,
+    refine_step,
+    sparsity_prune_step,
+    train_step,
+)
 
 log = get_logger(__name__)
 
@@ -123,11 +142,8 @@ class Trainer:
                 opt.sh_degree, opt.init_opacity, opt.init_scaling,
             )
 
-        self.state = TrainState(
-            splat=splat,
-            adam=init_adam_state(splat.params()),
-            rng=jax.random.key(0),
-            iteration=jnp.int32(1),
+        self.state = init_train_state(
+            splat, seed=0, n_train_images=len(self.train_cams), opt=opt
         )
         n0 = int(splat.n_alive())
         self.plan = RasterPlan(
@@ -149,7 +165,6 @@ class Trainer:
         import dataclasses as dc
 
         n = raw["means"].shape[0]
-        dists = np.linalg.norm(raw["means"] - np.asarray(scene_center)[None], axis=1)
         state = init_from_pointcloud(
             raw["means"], np.zeros((n, 3), np.float32), scene_center, capacity, sh_degree
         )
@@ -161,6 +176,12 @@ class Trainer:
         return dc.replace(state, **pads)
 
     # ------------------------------------------------------------------ train
+
+    @property
+    def total_iterations(self) -> int:
+        """Base run + appended sparsify phase (trainer.cpp:332-361)."""
+        extra = self.opt.sparsify_steps if self.opt.enable_sparsity else 0
+        return self.opt.iterations + extra
 
     def background_for_step(self, iteration: int) -> np.ndarray:
         bg = np.zeros(3, np.float32)  # base background is black (trainer.cpp:363)
@@ -181,6 +202,7 @@ class Trainer:
             jnp.asarray(cam.cam_position),
             sample.fx, sample.fy, sample.cx, sample.cy,
             jnp.asarray(self.background_for_step(iteration)),
+            jnp.int32(sample.index),
             width=cam.image_width, height=cam.image_height,
             plan=self.plan, opt=self.step_cfg,
             total_iterations=self.opt.iterations,
@@ -225,6 +247,73 @@ class Trainer:
             self.plan = new_plan
         return redo
 
+    def _flush_pending(self, pending: list[PendingStep]) -> Optional[int]:
+        """Drain all pending checks; on overflow roll back and return the redo iteration."""
+        while pending:
+            chk = pending.pop(0)
+            if self._check_pending(chk):
+                self.state = chk.prev_state
+                pending.clear()
+                return chk.iteration
+            self._loss_hist.append(float(chk.stats.loss))
+        return None
+
+    def _topology_hooks(self, it: int) -> None:
+        """Strategy + sparsity schedule (runs with no steps in flight)."""
+        opt = self.opt
+        if opt.strategy == "mcmc":
+            if strategy_mcmc.is_refining(it, opt.start_refine, opt.stop_refine, opt.refine_every):
+                self.state, info = refine_step(
+                    self.state, min_opacity=opt.min_opacity, max_cap=opt.max_cap
+                )
+                log.debug("mcmc refine @%d: %s", it, {k: int(v) for k, v in info.items()})
+        elif opt.strategy == "default":
+            if strategy_default.is_refining(
+                it, opt.start_refine, opt.stop_refine, opt.refine_every,
+                opt.reset_every, opt.pause_refine_after_reset,
+            ):
+                self.state, info = adc_refine_step(
+                    self.state,
+                    grad_threshold=opt.grad_threshold, grow_scale3d=opt.grow_scale3d,
+                    prune_opacity=opt.prune_opacity, prune_scale3d=opt.prune_scale3d,
+                    reset_every=opt.reset_every, revised_opacity=opt.revised_opacity,
+                )
+                log.debug("adc refine @%d: %s", it, {k: int(v) for k, v in info.items()})
+            if it < opt.stop_refine and it % opt.reset_every == 0 and it > 0:
+                self.state = adc_reset_opacity_step(self.state, prune_opacity=opt.prune_opacity)
+                log.info("opacity reset @%d", it)
+
+        if opt.enable_sparsity:
+            start, steps = opt.iterations, opt.sparsify_steps
+            if it == start:  # lazy init on phase entry (trainer.cpp:629-634)
+                self.state = admm_init_step(self.state, prune_ratio=opt.prune_ratio)
+                log.info("ADMM sparsity initialized @%d", it)
+            elif sp.should_update(it, start, steps):
+                self.state = admm_update_step(self.state, prune_ratio=opt.prune_ratio)
+            if sp.should_prune(it, start, steps):
+                self.state, n = sparsity_prune_step(self.state, prune_ratio=opt.prune_ratio)
+                log.info("sparsity prune @%d: removed %d gaussians", it, int(n))
+
+    def _needs_topology_hook(self, it: int) -> bool:
+        opt = self.opt
+        if opt.strategy == "mcmc" and strategy_mcmc.is_refining(
+            it, opt.start_refine, opt.stop_refine, opt.refine_every
+        ):
+            return True
+        if opt.strategy == "default":
+            if strategy_default.is_refining(
+                it, opt.start_refine, opt.stop_refine, opt.refine_every,
+                opt.reset_every, opt.pause_refine_after_reset,
+            ):
+                return True
+            if it < opt.stop_refine and it % opt.reset_every == 0 and it > 0:
+                return True
+        if opt.enable_sparsity:
+            start, steps = opt.iterations, opt.sparsify_steps
+            if it == start or sp.should_update(it, start, steps) or sp.should_prune(it, start, steps):
+                return True
+        return False
+
     def train(self, progress_every: int = 100) -> None:
         opt = self.opt
         loader = InfiniteDataLoader(
@@ -235,59 +324,53 @@ class Trainer:
         pending: list[PendingStep] = []
         t0 = time.time()
         it = 1
+        total = self.total_iterations
         try:
-            while it <= opt.iterations:
+            while it <= total:
                 sample = next(loader)
-                p = self._dispatch_step(sample, it)
-                pending.append(p)
+                pending.append(self._dispatch_step(sample, it))
 
-                # lagged budget check keeps 2 steps in flight
+                # keep 2 steps in flight; drain opportunistically
                 if len(pending) >= 2:
                     chk = pending.pop(0)
                     if self._check_pending(chk):
-                        # rollback and replay from the overflowing step
                         self.state = chk.prev_state
                         it = chk.iteration
                         pending.clear()
                         continue
                     self._loss_hist.append(float(chk.stats.loss))
 
-                if strategy_mcmc.is_refining(
-                    it, opt.start_refine, opt.stop_refine, opt.refine_every
-                ) and opt.strategy == "mcmc":
-                    # flush pending checks before topology changes
-                    for chk in pending:
-                        if self._check_pending(chk):
-                            self.state = chk.prev_state
-                            it = chk.iteration
-                            pending.clear()
-                            break
-                        self._loss_hist.append(float(chk.stats.loss))
-                    else:
-                        pending.clear()
-                        self.state, info = refine_step(
-                            self.state, min_opacity=opt.min_opacity, max_cap=opt.max_cap
-                        )
-                    if pending:
+                if self._needs_topology_hook(it):
+                    redo = self._flush_pending(pending)
+                    if redo is not None:
+                        it = redo
                         continue
+                    self._topology_hooks(it)
 
                 if it % progress_every == 0 and self._loss_hist:
                     rate = it / (time.time() - t0)
                     log.info(
                         "iter %d/%d loss %.4f alive %d %.2f it/s",
-                        it, opt.iterations, self._loss_hist[-1],
+                        it, total, self._loss_hist[-1],
                         int(self.state.splat.n_alive()), rate,
                     )
                 if opt.enable_eval and it in opt.eval_steps:
+                    redo = self._flush_pending(pending)
+                    if redo is not None:
+                        it = redo
+                        continue
                     self.evaluate(it)
-                if it in opt.save_steps and not opt.skip_intermediate_saving and it != opt.iterations:
+                if it in opt.save_steps and not opt.skip_intermediate_saving and it != total:
                     self.save_ply(out_dir / f"splat_{it}.ply")
                 it += 1
 
-            for chk in pending:
-                if not self._check_pending(chk):
-                    self._loss_hist.append(float(chk.stats.loss))
+            redo = self._flush_pending(pending)
             self.save_ply(out_dir / "splat_final.ply")
+            if opt.save_sog:
+                from ..io.sog import save_sog
+
+                save_sog(out_dir / "splat_final.sog", self._alive_arrays(),
+                         kmeans_iterations=opt.sog_iterations)
             if opt.enable_eval:
                 self.evaluator.save_report()
         finally:
@@ -326,16 +409,22 @@ class Trainer:
         )
         return result
 
-    def save_ply(self, path: str | Path) -> None:
+    def _alive_arrays(self) -> dict:
         splat = self.state.splat
         alive = np.asarray(splat.alive)
+        return {
+            "means": np.asarray(splat.means)[alive],
+            "sh0": np.asarray(splat.sh0)[alive],
+            "shN": np.asarray(splat.shN)[alive],
+            "scaling_raw": np.asarray(splat.scaling_raw)[alive],
+            "rotation_raw": np.asarray(splat.rotation_raw)[alive],
+            "opacity_raw": np.asarray(splat.opacity_raw)[alive],
+        }
+
+    def save_ply(self, path: str | Path) -> None:
+        a = self._alive_arrays()
         save_splat_ply(
-            path,
-            np.asarray(splat.means)[alive],
-            np.asarray(splat.sh0)[alive],
-            np.asarray(splat.shN)[alive],
-            np.asarray(splat.scaling_raw)[alive],
-            np.asarray(splat.rotation_raw)[alive],
-            np.asarray(splat.opacity_raw)[alive],
+            path, a["means"], a["sh0"], a["shN"],
+            a["scaling_raw"], a["rotation_raw"], a["opacity_raw"],
         )
-        log.info("saved %d gaussians to %s", int(alive.sum()), path)
+        log.info("saved %d gaussians to %s", a["means"].shape[0], path)
