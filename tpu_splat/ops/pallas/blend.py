@@ -1,0 +1,431 @@
+"""Pallas TPU kernels for the tile blend — forward + hand-written backward.
+
+TPU-native replacement for the reference's blend kernels
+(fastgs/rasterization/include/kernels_forward.cuh:356-459 `blend_cu` and
+kernels_backward.cuh:240-449 `blend_backward_cu`). Same math, different parallel shape:
+
+  * CUDA: one thread-block per tile, one thread per pixel, warps sweep primitives with
+    shfl pipelines; backward replays from per-32-primitive (color, transmittance) buckets
+    with atomicAdd gradient accumulation.
+  * here: one grid step per tile; work arrays are laid out [P=256 pixels (sublanes),
+    C=128 gaussians (lanes)]; the sequential front-to-back recurrence becomes a closed
+    form per chunk (cumprod of (1-alpha) along lanes via a 7-step log-scan of lane rolls);
+    the backward replays each chunk from a per-chunk transmittance checkpoint (the bucket
+    idea, chunk=128) and accumulates per-instance gradients into disjoint column ranges —
+    no atomics.
+
+Instance features arrive feature-major [16, MAX_INST+pad] in tile-sorted depth order
+(see raster.py). Per-tile segments are *unaligned* — the kernel DMAs arbitrary-offset
+[16, 128] column slices (DMAs have no lane-alignment constraint; only vector load/stores
+do) and masks the segment tail by lane index. Segment boundaries may be overwritten by the
+next grid step's backward DMA, which is safe because TPU grid steps execute sequentially
+and segments are written in tile order.
+
+Blend semantics preserved exactly (rasterization_config.h:11-30):
+  sigma >= 0; alpha = min(opac * exp(-sigma), 0.999), skip if < 1/255;
+  stop (excluding the triggering gaussian) when T*(1-alpha) < 1e-4.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# feature-row indices in the packed [16, MAX_INST+pad] instance array
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B = range(9)
+NFEAT = 16  # padded to a (16, 128) f32 tile
+
+MIN_ALPHA = 1.0 / 255.0
+MAX_FRAGMENT_ALPHA = 0.999
+TRANSMITTANCE_THRESHOLD = 1e-4
+
+CHUNK = 128  # gaussians per inner step (lane dim)
+
+
+def _lane_scan(x, op, identity):
+    """Inclusive scan along the lane axis via log-depth rolls."""
+    n = x.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, len(x.shape) - 1)
+    ident = jnp.full_like(x, identity)
+    s = 1
+    while s < n:
+        shifted = pltpu.roll(x, s, axis=len(x.shape) - 1)
+        x = op(x, jnp.where(col >= s, shifted, ident))
+        s *= 2
+    return x
+
+
+def _lane_cumprod(x):
+    return _lane_scan(x, jnp.multiply, 1.0)
+
+
+def _lane_cumsum(x):
+    return _lane_scan(x, jnp.add, 0.0)
+
+
+def _lane_cummax(x):
+    return _lane_scan(x, jnp.maximum, -jnp.inf)
+
+
+def _pixel_coords(t, grid_w: int, tile_size: int, p: int):
+    """Pixel-center coordinates of tile t as [P, 1] f32 (row-major pixels in tile)."""
+    tile_x = t % grid_w
+    tile_y = t // grid_w
+    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (tile_x * tile_size + idx % tile_size).astype(jnp.float32) + 0.5
+    py = (tile_y * tile_size + idx // tile_size).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _chunk_alphas(data, px, py, lane_valid):
+    """Per-(pixel, gaussian) alpha + masks for one chunk.
+
+    data [16, 128] feature block; px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
+    Returns (a, valid, one_m) each [P, 128]; a has invalid entries zeroed.
+    """
+    mx = data[F_MX : F_MX + 1, :]  # [1, 128]
+    my = data[F_MY : F_MY + 1, :]
+    ca = data[F_CA : F_CA + 1, :]
+    cb = data[F_CB : F_CB + 1, :]
+    cc = data[F_CC : F_CC + 1, :]
+    op = data[F_OP : F_OP + 1, :]
+
+    dx = mx - px  # [P, 128]
+    dy = my - py
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
+    alpha = jnp.minimum(op * gauss, MAX_FRAGMENT_ALPHA)
+    valid = (sigma >= 0.0) & (alpha >= MIN_ALPHA) & lane_valid
+    a = jnp.where(valid, alpha, 0.0)
+    return a, valid, 1.0 - a
+
+
+def _composite_chunk(a, valid, one_m, t_run, dead):
+    """Closed-form front-to-back recurrence for one chunk (matches ops/blend.py).
+
+    a/valid/one_m [P, C]; t_run/dead [P, 1]. Returns (w [P, C], t_new, dead_new)."""
+    cp_incl = _lane_cumprod(one_m)
+    cp_excl = cp_incl / one_m
+    t_excl = t_run * cp_excl
+    t_incl = t_run * cp_incl
+    trigger = valid & (t_incl < TRANSMITTANCE_THRESHOLD)
+    dead_incl = jnp.maximum(_lane_cummax(jnp.where(trigger, 1.0, 0.0)), dead)
+    use = valid & (dead_incl < 0.5)
+    w = jnp.where(use, a * t_excl, 0.0)
+    used_one_m = jnp.where(use, one_m, 1.0)
+    # reduce_prod is not lowerable on TPU Pallas; take the last cumprod column instead
+    n = used_one_m.shape[-1]
+    t_new = t_run * _lane_cumprod(used_one_m)[:, n - 1 : n]
+    dead_new = jnp.max(dead_incl, axis=-1, keepdims=True)
+    return w, t_new, dead_new
+
+
+def _lane_iota_row():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+
+# ------------------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(
+    row_start_ref, count_ref,  # scalar prefetch [T] int32 (chunk-row offset, capped count)
+    packed_ref,  # [R, 16, 128] ANY (HBM): one [16, 128] feature block per chunk
+    out_ref,  # [1, P, 8] VMEM: cols 0-2 rgb, 3 final transmittance
+    chk_ref,  # [1, P, MAXC] VMEM: per-chunk entry transmittance (0 where dead)
+    buf, chk_s, sems,  # scratch
+    *,
+    grid_w: int,
+    tile_size: int,
+):
+    t = pl.program_id(0)
+    row0 = row_start_ref[t]
+    count = count_ref[t]
+    nch = (count + CHUNK - 1) // CHUNK
+    p = tile_size * tile_size
+    px, py = _pixel_coords(t, grid_w, tile_size, p)
+    maxc = chk_ref.shape[2]
+    chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
+    chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
+    lane = _lane_iota_row()
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(c):
+        j, r, g, b, t_run, dead = c
+        return (j < nch) & (jnp.min(dead) < 0.5)
+
+    def body(c):
+        j, r, g, b, t_run, dead = c
+        slot = jax.lax.rem(j, 2)
+        get_dma(slot, j).wait()
+
+        @pl.when(j + 1 < nch)
+        def _():
+            get_dma(1 - slot, j + 1).start()
+
+        data = buf[slot]  # [16, 128]
+        # checkpoint the chunk-entry transmittance (0 encodes "already stopped").
+        # Mosaic forbids dynamic lane-index stores; a masked full-width select updates
+        # one column of the [P, MAXC] scratch instead (MAXC <= 128 lanes).
+        chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
+
+        lane_valid = lane < (count - j * CHUNK)  # [1, 128] segment-tail mask
+        a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
+        w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
+
+        cr = data[F_R : F_R + 1, :]
+        cg = data[F_G : F_G + 1, :]
+        cb_ = data[F_B : F_B + 1, :]
+        r = r + jnp.sum(w * cr, axis=-1, keepdims=True)
+        g = g + jnp.sum(w * cg, axis=-1, keepdims=True)
+        b = b + jnp.sum(w * cb_, axis=-1, keepdims=True)
+        return j + 1, r, g, b, t_new, dead_new
+
+    zero = jnp.zeros((p, 1), jnp.float32)
+    j, r, g, b, t_run, dead = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, zero, zero + 1.0, zero)
+    )
+
+    # early exit leaves one prefetch in flight (started for chunk j during chunk j-1's
+    # body) — drain it, or its semaphore signal corrupts the next grid step
+    @pl.when(j < nch)
+    def _():
+        get_dma(jax.lax.rem(j, 2), j).wait()
+
+    chk_ref[0] = chk_s[:]
+    out_ref[0] = jnp.concatenate(
+        [r, g, b, t_run, jnp.zeros((p, 4), jnp.float32)], axis=-1
+    )  # [P, 8]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks")
+)
+def blend_forward(
+    packed: jax.Array,  # [R, 16, 128]
+    row_start: jax.Array,  # [T] int32 chunk-row offsets into packed
+    tile_count: jax.Array,  # [T] int32 (already capped at k_max)
+    *,
+    n_tiles: int,
+    grid_w: int,
+    tile_size: int,
+    max_chunks: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
+    p = tile_size * tile_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, p, max_chunks), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((p, max_chunks), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, chk = pl.pallas_call(
+        functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, max_chunks), jnp.float32),
+        ),
+    )(row_start, tile_count, packed)
+    return out, chk
+
+
+# ------------------------------------------------------------------------------ backward
+
+
+def _bwd_kernel(
+    row_start_ref, count_ref,
+    packed_ref,  # [R, 16, 128] ANY
+    chk_ref,  # [1, P, MAXC] VMEM
+    out_ref,  # [1, P, 8] VMEM (forward outputs; col 3 = T_final)
+    gout_ref,  # [1, P, 8] VMEM (cotangents: cols 0-2 d/drgb, col 3 d/dT_final)
+    gzero_ref,  # [R, 16, 128] ANY — zero-initialized, aliased to the output
+    gpacked_ref,  # [R, 16, 128] ANY (output, written by DMA per chunk)
+    buf, gbuf, sems, gsems,
+    *,
+    grid_w: int,
+    tile_size: int,
+):
+    del gzero_ref  # aliased storage; reads would race with our own writes
+    t = pl.program_id(0)
+    row0 = row_start_ref[t]
+    count = count_ref[t]
+    nch = (count + CHUNK - 1) // CHUNK
+    p = tile_size * tile_size
+    px, py = _pixel_coords(t, grid_w, tile_size, p)
+    lane = _lane_iota_row()
+    chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
+
+    gr = gout_ref[0, :, 0:1]  # [P, 1]
+    gg = gout_ref[0, :, 1:2]
+    gb = gout_ref[0, :, 2:3]
+    gt = gout_ref[0, :, 3:4]
+    t_final = out_ref[0, :, 3:4]
+    s0 = t_final * gt  # dL through T_final, folded into the suffix term
+
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(gbuf.at[slot], gpacked_ref.at[row0 + j], gsems.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        # slot must match the body's rem(j, 2) convention or the first wait deadlocks
+        in_dma(jax.lax.rem(nch - 1, 2), nch - 1).start()
+
+    def body(i, s_carry):
+        j = nch - 1 - i  # reverse chunk order
+        slot = jax.lax.rem(j, 2)
+        in_dma(slot, j).wait()
+
+        @pl.when(j - 1 >= 0)
+        def _():
+            in_dma(1 - slot, j - 1).start()
+
+        data = buf[slot]
+        # dynamic lane-index reads are unsupported: masked lane reduction instead
+        t_in = jnp.sum(
+            jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True
+        )  # [P, 1]; 0 where this chunk never ran (forward stopped earlier)
+
+        lane_valid = lane < (count - j * CHUNK)
+        a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
+        cp_incl = _lane_cumprod(one_m)
+        cp_excl = cp_incl / one_m
+        t_excl = t_in * cp_excl
+        t_incl = t_in * cp_incl
+        trigger = valid & (t_incl < TRANSMITTANCE_THRESHOLD)
+        dead_incl = _lane_cummax(jnp.where(trigger, 1.0, 0.0))
+        use = valid & (dead_incl < 0.5)
+        usef = jnp.where(use, 1.0, 0.0)
+        w = usef * a * t_excl  # [P, C]
+
+        cr = data[F_R : F_R + 1, :]
+        cg = data[F_G : F_G + 1, :]
+        cb_ = data[F_B : F_B + 1, :]
+        cdotg = cr * gr + cg * gg + cb_ * gb  # [P, C]
+
+        u = w * cdotg
+        cum_u = _lane_cumsum(u)
+        total_u = cum_u[:, CHUNK - 1 : CHUNK]
+        suffix = (total_u - cum_u) + s_carry  # strictly-later gaussians (+ later chunks)
+
+        dL_da = usef * (t_excl * cdotg - suffix / one_m)
+
+        # chain rule through alpha = min(op * exp(-max(sigma, 0)), 0.999)
+        op = data[F_OP : F_OP + 1, :]
+        mx = data[F_MX : F_MX + 1, :]
+        my = data[F_MY : F_MY + 1, :]
+        ca = data[F_CA : F_CA + 1, :]
+        cb2 = data[F_CB : F_CB + 1, :]
+        cc = data[F_CC : F_CC + 1, :]
+        dx = mx - px
+        dy = my - py
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb2 * dx * dy
+        gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
+        not_clamped = jnp.where(op * gauss < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
+        dL_dsigma = dL_da * (-a) * not_clamped
+        g_mx = jnp.sum(dL_dsigma * (ca * dx + cb2 * dy), axis=0, keepdims=True)  # [1, C]
+        g_my = jnp.sum(dL_dsigma * (cc * dy + cb2 * dx), axis=0, keepdims=True)
+        g_ca = jnp.sum(dL_dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        g_cb = jnp.sum(dL_dsigma * dx * dy, axis=0, keepdims=True)
+        g_cc = jnp.sum(dL_dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        g_op = jnp.sum(dL_da * gauss * not_clamped, axis=0, keepdims=True)
+        g_cr = jnp.sum(w * gr, axis=0, keepdims=True)
+        g_cg = jnp.sum(w * gg, axis=0, keepdims=True)
+        g_cb_ = jnp.sum(w * gb, axis=0, keepdims=True)
+
+        grads = jnp.concatenate(
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_,
+             jnp.zeros((NFEAT - 9, CHUNK), jnp.float32)],
+            axis=0,
+        )  # [16, 128]
+
+        # wait for this slot's previous output flight before overwriting the buffer
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, j).wait()
+
+        gbuf[slot] = grads
+        out_dma(slot, j).start()
+
+        return s_carry + total_u
+
+    _ = jax.lax.fori_loop(0, nch, body, s0)
+
+    # drain outstanding output DMAs (at most the last two started)
+    @pl.when(nch >= 1)
+    def _():
+        out_dma(jax.lax.rem(jnp.int32(0), 2), 0).wait()
+
+    @pl.when(nch >= 2)
+    def _():
+        out_dma(jax.lax.rem(jnp.int32(1), 2), 0).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks")
+)
+def blend_backward(
+    packed: jax.Array,  # [R, 16, 128]
+    row_start: jax.Array,
+    tile_count: jax.Array,
+    chk: jax.Array,  # [T, P, MAXC]
+    out: jax.Array,  # [T, P, 8]
+    gout: jax.Array,  # [T, P, 8]
+    *,
+    n_tiles: int,
+    grid_w: int,
+    tile_size: int,
+    max_chunks: int,
+) -> jax.Array:
+    """Returns gpacked [R, 16, 128]; rows never touched by any tile stay zero
+    (zero-init via input-output aliasing)."""
+    p = tile_size * tile_size
+    gzero = jnp.zeros(packed.shape, jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, p, max_chunks), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    gpacked = pl.pallas_call(
+        functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        input_output_aliases={6: 0},  # gzero -> output (indices include scalar-prefetch args)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(row_start, tile_count, packed, chk, out, gout, gzero)
+    return gpacked

@@ -1,0 +1,247 @@
+"""XLA-side glue for the Pallas blend: emission, tile sort, packing, custom VJP.
+
+TPU-native replacement for the reference's instance pipeline
+(fastgs/rasterization/src/forward.cu:15-199: depth radix sort -> exclusive scan ->
+warp-cooperative `create_instances_cu` -> tile radix sort -> range extraction). Designed
+around measured TPU op costs: random gathers run at ~9 ms/M elements regardless of width,
+so every per-element lookup is a single WIDE row-gather; `jnp.repeat`'s
+searchsorted-based expansion and 4M-query searchsorted are replaced by scatter+cummax
+scans (3-7x cheaper); the exact StopThePop per-tile contribution test
+(kernel_utils.cuh:108-143) is applied per emitted instance.
+
+Gradient flow: `blend_tiles_pallas` is a jax.custom_vjp over (mean2d, conic, opacity,
+color); its backward runs the hand-written Pallas kernel (transmittance-checkpoint replay,
+blend.py) and scatter-adds per-instance gradients back to per-gaussian arrays — the
+segment-sum equivalent of the reference's atomicAdd accumulation
+(kernels_backward.cuh:436-448).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..projection import Projected, will_contribute
+from .blend import CHUNK, NFEAT, blend_backward, blend_forward
+
+# G-table columns (per-gaussian, depth-ordered)
+G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_GID = range(11)
+G_COLS = 16  # padded for an efficient row gather
+
+
+class SortedInstances(NamedTuple):
+    sorted_tile_id: jax.Array  # [MAX_INST] int32 (sentinel n_tiles at the tail)
+    sorted_gid: jax.Array  # [MAX_INST] int32
+    tile_start: jax.Array  # [T] int32
+    tile_count: jax.Array  # [T] int32 (uncapped)
+    total_instances: jax.Array  # [] int32 (conservative rect total)
+    max_tile_count: jax.Array  # [] int32
+    n_visible: jax.Array  # [] int32
+
+
+def build_sorted_instances(
+    proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int
+) -> SortedInstances:
+    """Depth-ordered emission + stable tile sort, gather-minimal."""
+    n = proj.depth.shape[0]
+    n_tiles = grid_w * grid_h
+    f32 = proj.depth.dtype
+
+    proj = jax.lax.optimization_barrier(proj)
+
+    # 1. depth ordering of gaussians
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key, stable=True)  # [N]
+
+    # 2. per-gaussian emission table, ONE row-gather into depth order
+    rect_w = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)
+    gtab = jnp.stack(
+        [
+            proj.n_tiles.astype(f32),
+            proj.tile_min[:, 0].astype(f32),
+            proj.tile_min[:, 1].astype(f32),
+            rect_w.astype(f32),
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.power_threshold,
+            jnp.arange(n, dtype=f32),  # gid (exact in f32 for n < 2^24)
+        ],
+        axis=1,
+    )
+    gtab = jnp.pad(gtab, ((0, 0), (0, G_COLS - gtab.shape[1])))
+    gtab = jax.lax.optimization_barrier(gtab[order])  # [N, 16]
+
+    counts = gtab[:, G_COUNT].astype(jnp.int32)
+    offs_incl = jnp.cumsum(counts)
+    offs_excl = offs_incl - counts
+    total = offs_incl[-1]
+
+    # 3. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
+    starts = jnp.where(counts > 0, offs_excl, max_instances)
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    pos = (
+        jnp.zeros((max_instances,), jnp.int32)
+        .at[starts]
+        .max(arange_n, mode="drop")
+    )
+    pos = jax.lax.cummax(pos)
+    startpos = (
+        jnp.zeros((max_instances,), jnp.int32)
+        .at[starts]
+        .max(offs_excl, mode="drop")
+    )
+    startpos = jax.lax.cummax(startpos)
+
+    inst_id = jnp.arange(max_instances, dtype=jnp.int32)
+    k = (inst_id - startpos).astype(f32)
+
+    r = jax.lax.optimization_barrier(gtab[pos])  # [MAX_INST, 16] ONE row-gather
+    in_range = (inst_id < total) & (k < r[:, G_COUNT])
+
+    # tile coords via float division (k < ~2^20, rect_w < 2^11: exact)
+    rw = r[:, G_RECTW]
+    ky = jnp.floor(k / rw)
+    kx = k - ky * rw
+    tile_x = (r[:, G_TMINX] + kx).astype(jnp.int32)
+    tile_y = (r[:, G_TMINY] + ky).astype(jnp.int32)
+
+    # 4. exact per-tile contribution test (replaces the reference's exact-count prepass)
+    contrib = will_contribute(
+        r[:, G_MX : G_MY + 1],  # [MAX, 2] mean2d view
+        r[:, G_CA : G_CC + 1],  # [MAX, 3] conic view
+        tile_x, tile_y, r[:, G_PTH], tile_size,
+    )
+    valid = in_range & contrib
+    tile_id = jnp.where(valid, tile_y * grid_w + tile_x, n_tiles)
+
+    # 5. stable sort by tile id with the gid payload: emission order is depth order, so
+    #    stability gives per-tile front-to-back order
+    sorted_tile_id, sorted_gid_f = jax.lax.sort(
+        (tile_id, r[:, G_GID]), num_keys=1, is_stable=True
+    )
+    sorted_gid = sorted_gid_f.astype(jnp.int32)
+
+    # 6. per-tile ranges (few-query searchsorted is cheap; the 4M-query variant is not)
+    tiles = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile_id, tiles, side="left").astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_count = bounds[1:] - tile_start
+
+    return SortedInstances(
+        sorted_tile_id=sorted_tile_id,
+        sorted_gid=sorted_gid,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        total_instances=total,
+        max_tile_count=jnp.max(tile_count),
+        n_visible=jnp.sum(proj.visible.astype(jnp.int32)),
+    )
+
+
+def blend_tiles_pallas(
+    inst: SortedInstances,
+    mean2d: jnp.ndarray,  # [N, 2]
+    conic: jnp.ndarray,  # [N, 3]
+    opacity: jnp.ndarray,  # [N]
+    color: jnp.ndarray,  # [N, 3] (already clamped >= 0 by the caller)
+    *,
+    grid_w: int,
+    grid_h: int,
+    tile_size: int,
+    k_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas-path tile blend. Returns (tile_colors [T, P, 3], tile_alpha [T, P])."""
+    assert tile_size * tile_size % 128 == 0, "pixel count per tile must be lane-aligned"
+    n_tiles = grid_w * grid_h
+    n = mean2d.shape[0]
+    max_inst = inst.sorted_gid.shape[0]
+    k_max_al = ((k_max + CHUNK - 1) // CHUNK) * CHUNK
+    max_chunks = min(k_max_al // CHUNK, 128)  # checkpoint scratch is 128 lanes wide
+    p = tile_size * tile_size
+
+    # ---- 128-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
+    # Instance-side remap via scatter+cummax scans (a 4M-query searchsorted costs ~400 ms).
+    count_capped = jnp.minimum(inst.tile_count, max_chunks * CHUNK)
+    padded = ((count_capped + CHUNK - 1) // CHUNK) * CHUNK
+    aligned_end = jnp.cumsum(padded)
+    aligned_start = aligned_end - padded
+    row_start = (aligned_start // CHUNK).astype(jnp.int32)
+    max_aligned = max_inst + n_tiles * CHUNK  # static bound: sum(padded) <= this
+    n_rows = max_aligned // CHUNK
+
+    pidx = jnp.arange(max_inst, dtype=jnp.int32)
+    # per-instance shift = aligned_start[t] - tile_start[t], broadcast by cummax
+    shift_at = (
+        jnp.zeros((max_inst,), jnp.int32)
+        .at[inst.tile_start]
+        .max(aligned_start - inst.tile_start, mode="drop")
+    )
+    shift = jax.lax.cummax(shift_at)
+    # per-instance cap boundary: instances at p >= tile_start + capped are dropped
+    cap_end_at = (
+        jnp.zeros((max_inst,), jnp.int32)
+        .at[inst.tile_start]
+        .max(inst.tile_start + count_capped, mode="drop")
+    )
+    cap_end = jax.lax.cummax(cap_end_at)
+    keep = pidx < cap_end
+    qa = jnp.where(keep, pidx + shift, max_aligned)
+    aligned_gid = (
+        jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
+    )
+
+    statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size, max_chunks=max_chunks)
+
+    def _pack(m2d, con, op, col, gid):
+        feats = jnp.stack(
+            [
+                m2d[:, 0], m2d[:, 1],
+                con[:, 0], con[:, 1], con[:, 2],
+                op,
+                col[:, 0], col[:, 1], col[:, 2],
+            ],
+            axis=1,
+        )  # [N, 9]
+        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 9] row-gather
+        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - 9)))  # [MAX_AL, 16]
+        return packed.reshape(n_rows, CHUNK, NFEAT).transpose(0, 2, 1)  # [R, 16, 128]
+
+    @jax.custom_vjp
+    def core(m2d, con, op, col, gid, rstart, count):
+        packed = _pack(m2d, con, op, col, gid)
+        out, _ = blend_forward(packed, rstart, count, **statics)
+        return out[:, :, :4]
+
+    def core_fwd(m2d, con, op, col, gid, rstart, count):
+        packed = _pack(m2d, con, op, col, gid)
+        out, chk = blend_forward(packed, rstart, count, **statics)
+        return out[:, :, :4], (packed, chk, out, gid, rstart, count)
+
+    def core_bwd(res, g4):
+        packed, chk, out, gid, rstart, count = res
+        gout = jnp.concatenate([g4, jnp.zeros((n_tiles, p, 4), jnp.float32)], axis=-1)
+        gpacked = blend_backward(packed, rstart, count, chk, out, gout, **statics)
+        ginst = gpacked.transpose(0, 2, 1).reshape(max_aligned, NFEAT)[:, :9]
+        acc = jnp.zeros((n, 9), jnp.float32).at[gid].add(ginst)
+        g_m2d = acc[:, 0:2]
+        g_con = acc[:, 2:5]
+        g_op = acc[:, 5]
+        g_col = acc[:, 6:9]
+
+        def f0(x):
+            return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+        return g_m2d, g_con, g_op, g_col, f0(gid), f0(rstart), f0(count)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    out4 = core(mean2d, conic, opacity, color, aligned_gid, row_start, count_capped)
+    tile_colors = out4[:, :, 0:3]
+    tile_alpha = 1.0 - out4[:, :, 3]
+    return tile_colors, tile_alpha

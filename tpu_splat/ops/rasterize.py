@@ -127,10 +127,18 @@ def assemble_image(
     return img[:, :height, :width], alpha[:height, :width]
 
 
+def default_backend() -> str:
+    """Pallas blend on real TPU hardware, XLA scan blend elsewhere (CPU tests)."""
+    try:
+        return "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "max_instances", "k_max", "chunk", "tile_size",
+        "width", "height", "max_instances", "k_max", "chunk", "tile_size", "backend",
     ),
 )
 def rasterize(
@@ -145,6 +153,7 @@ def rasterize(
     k_max: int,
     chunk: int = 64,
     tile_size: int = 16,
+    backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
     mean2d_offset=None,  # [N,2] zeros; pass to read dL/dmean2d for densification
 ) -> RenderOutput:
     """End-to-end differentiable fast-path render of one camera.
@@ -152,6 +161,8 @@ def rasterize(
     Background is composited OUTSIDE the blend as image + (1-alpha)*bg
     (fast_rasterizer.cpp:63), so bg does not receive gradients through the blend.
     """
+    if backend == "auto":
+        backend = default_backend()
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
 
@@ -162,13 +173,28 @@ def rasterize(
     )
     mean2d = proj.mean2d if mean2d_offset is None else proj.mean2d + mean2d_offset
     proj = proj._replace(mean2d=mean2d)
+    # Materialize the projection before the tile stage: without this, XLA fuses the whole
+    # per-gaussian projection chain into each of the ~4M instance gathers below
+    # (recompute-in-fusion), turning a ~10 ms stage into ~400 ms on TPU.
+    proj = jax.lax.optimization_barrier(proj)
 
-    assign = build_tile_assignment(proj, grid_w, grid_h, max_instances, tile_size)
+    if backend == "pallas":
+        from .pallas.raster import blend_tiles_pallas, build_sorted_instances
 
-    tile_colors, tile_alpha = blend_tiles(
-        assign, proj.mean2d, proj.conic, proj.opacity, proj.color,
-        grid_w, grid_h, tile_size, k_max, chunk,
-    )
+        inst = build_sorted_instances(proj, grid_w, grid_h, max_instances, tile_size)
+        tile_colors, tile_alpha = blend_tiles_pallas(
+            inst, proj.mean2d, proj.conic, proj.opacity,
+            jnp.maximum(proj.color, 0.0),
+            grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
+        )
+        counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)
+    else:
+        assign = build_tile_assignment(proj, grid_w, grid_h, max_instances, tile_size)
+        tile_colors, tile_alpha = blend_tiles(
+            assign, proj.mean2d, proj.conic, proj.opacity, proj.color,
+            grid_w, grid_h, tile_size, k_max, chunk,
+        )
+        counters = (assign.total_instances, assign.max_tile_count, assign.n_visible)
     image, alpha = assemble_image(
         tile_colors, tile_alpha, grid_w, grid_h, tile_size, width, height
     )
@@ -176,9 +202,9 @@ def rasterize(
         image = image + (1.0 - alpha)[None] * jnp.asarray(bg_color).reshape(3, 1, 1)
 
     aux = RasterAux(
-        total_instances=assign.total_instances,
-        max_tile_count=assign.max_tile_count,
-        n_visible=assign.n_visible,
+        total_instances=counters[0],
+        max_tile_count=counters[1],
+        n_visible=counters[2],
         visible=jax.lax.stop_gradient(proj.visible),
     )
     return RenderOutput(image=image, alpha=alpha, aux=aux)

@@ -48,6 +48,10 @@ def build_tile_assignment(
     n = proj.depth.shape[0]
     n_tiles = grid_w * grid_h
 
+    # Materialize the projection: XLA otherwise fuses the per-gaussian projection chain
+    # into each ~4M-element instance gather below (recompute-in-fusion; measured ~80x cost).
+    proj = jax.lax.optimization_barrier(proj)
+
     # 1. depth ordering of gaussians (invisible sort to the end)
     depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
     order = jnp.argsort(depth_key, stable=True)  # [N]
