@@ -104,23 +104,34 @@ def _chunk_alphas(data, px, py, lane_valid):
     return a, valid, 1.0 - a
 
 
+def _exclusive_from_inclusive_prod(cp_incl):
+    """Exclusive cumprod from the inclusive one: roll + first-lane reset (cheaper than a
+    full [P, C] divide on the VPU)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, cp_incl.shape, cp_incl.ndim - 1)
+    return jnp.where(col == 0, 1.0, pltpu.roll(cp_incl, 1, axis=cp_incl.ndim - 1))
+
+
 def _composite_chunk(a, valid, one_m, t_run, dead):
     """Closed-form front-to-back recurrence for one chunk (matches ops/blend.py).
 
-    a/valid/one_m [P, C]; t_run/dead [P, 1]. Returns (w [P, C], t_new, dead_new)."""
+    a/valid/one_m [P, C]; t_run/dead [P, 1]. Returns (w [P, C], t_new, dead_new).
+
+    ONE lane scan suffices: t_incl is monotone non-increasing along the lane, so the stop
+    predicate `t_incl < threshold` is a suffix property — the or-scan over triggers
+    collapses to the predicate itself, and the post-chunk transmittance is the minimum
+    t_incl over still-above-threshold lanes (t_run when none).
+    """
     cp_incl = _lane_cumprod(one_m)
-    cp_excl = cp_incl / one_m
-    t_excl = t_run * cp_excl
+    t_excl = t_run * _exclusive_from_inclusive_prod(cp_incl)
     t_incl = t_run * cp_incl
-    trigger = valid & (t_incl < TRANSMITTANCE_THRESHOLD)
-    dead_incl = jnp.maximum(_lane_cummax(jnp.where(trigger, 1.0, 0.0)), dead)
-    use = valid & (dead_incl < 0.5)
+    below = t_incl < TRANSMITTANCE_THRESHOLD
+    alive = dead < 0.5
+    use = valid & ~below & alive
     w = jnp.where(use, a * t_excl, 0.0)
-    used_one_m = jnp.where(use, one_m, 1.0)
-    # reduce_prod is not lowerable on TPU Pallas; take the last cumprod column instead
-    n = used_one_m.shape[-1]
-    t_new = t_run * _lane_cumprod(used_one_m)[:, n - 1 : n]
-    dead_new = jnp.max(dead_incl, axis=-1, keepdims=True)
+    t_candidate = jnp.min(jnp.where(below, t_run, t_incl), axis=-1, keepdims=True)
+    t_new = jnp.where(alive, t_candidate, t_run)
+    triggered = jnp.max(jnp.where(valid & below, 1.0, 0.0), axis=-1, keepdims=True)
+    dead_new = jnp.maximum(dead, triggered)
     return w, t_new, dead_new
 
 
@@ -311,12 +322,11 @@ def _bwd_kernel(
         lane_valid = lane < (count - j * CHUNK)
         a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
         cp_incl = _lane_cumprod(one_m)
-        cp_excl = cp_incl / one_m
-        t_excl = t_in * cp_excl
+        t_excl = t_in * _exclusive_from_inclusive_prod(cp_incl)
         t_incl = t_in * cp_incl
-        trigger = valid & (t_incl < TRANSMITTANCE_THRESHOLD)
-        dead_incl = _lane_cummax(jnp.where(trigger, 1.0, 0.0))
-        use = valid & (dead_incl < 0.5)
+        # monotone t_incl: the stop or-scan collapses to the threshold predicate
+        # (t_in = 0 encodes "chunk never ran": everything below, all grads zero)
+        use = valid & (t_incl >= TRANSMITTANCE_THRESHOLD)
         usef = jnp.where(use, 1.0, 0.0)
         w = usef * a * t_excl  # [P, C]
 
