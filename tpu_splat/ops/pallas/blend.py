@@ -35,8 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# feature-row indices in the packed [16, MAX_INST+pad] instance array
-F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B = range(9)
+# feature-row indices in the packed [R, 16, 128] instance array
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 NFEAT = 16  # padded to a (16, 128) f32 tile
 
 MIN_ALPHA = 1.0 / 255.0
@@ -171,11 +171,11 @@ def _fwd_kernel(
         get_dma(0, 0).start()
 
     def cond(c):
-        j, r, g, b, t_run, dead = c
+        j, r, g, b, dep, t_run, dead = c
         return (j < nch) & (jnp.min(dead) < 0.5)
 
     def body(c):
-        j, r, g, b, t_run, dead = c
+        j, r, g, b, dep, t_run, dead = c
         slot = jax.lax.rem(j, 2)
         get_dma(slot, j).wait()
 
@@ -196,14 +196,16 @@ def _fwd_kernel(
         cr = data[F_R : F_R + 1, :]
         cg = data[F_G : F_G + 1, :]
         cb_ = data[F_B : F_B + 1, :]
+        cd = data[F_D : F_D + 1, :]
         r = r + jnp.sum(w * cr, axis=-1, keepdims=True)
         g = g + jnp.sum(w * cg, axis=-1, keepdims=True)
         b = b + jnp.sum(w * cb_, axis=-1, keepdims=True)
-        return j + 1, r, g, b, t_new, dead_new
+        dep = dep + jnp.sum(w * cd, axis=-1, keepdims=True)
+        return j + 1, r, g, b, dep, t_new, dead_new
 
     zero = jnp.zeros((p, 1), jnp.float32)
-    j, r, g, b, t_run, dead = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero, zero, zero, zero + 1.0, zero)
+    j, r, g, b, dep, t_run, dead = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, zero, zero, zero + 1.0, zero)
     )
 
     # early exit leaves one prefetch in flight (started for chunk j during chunk j-1's
@@ -214,8 +216,8 @@ def _fwd_kernel(
 
     chk_ref[0] = chk_s[:]
     out_ref[0] = jnp.concatenate(
-        [r, g, b, t_run, jnp.zeros((p, 4), jnp.float32)], axis=-1
-    )  # [P, 8]
+        [r, g, b, t_run, dep, jnp.zeros((p, 3), jnp.float32)], axis=-1
+    )  # [P, 8]: rgb, final transmittance, accumulated depth
 
 
 @functools.partial(
@@ -290,6 +292,7 @@ def _bwd_kernel(
     gg = gout_ref[0, :, 1:2]
     gb = gout_ref[0, :, 2:3]
     gt = gout_ref[0, :, 3:4]
+    gd = gout_ref[0, :, 4:5]
     t_final = out_ref[0, :, 3:4]
     s0 = t_final * gt  # dL through T_final, folded into the suffix term
 
@@ -333,7 +336,8 @@ def _bwd_kernel(
         cr = data[F_R : F_R + 1, :]
         cg = data[F_G : F_G + 1, :]
         cb_ = data[F_B : F_B + 1, :]
-        cdotg = cr * gr + cg * gg + cb_ * gb  # [P, C]
+        cd = data[F_D : F_D + 1, :]
+        cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd  # [P, C]
 
         u = w * cdotg
         cum_u = _lane_cumsum(u)
@@ -364,10 +368,11 @@ def _bwd_kernel(
         g_cr = jnp.sum(w * gr, axis=0, keepdims=True)
         g_cg = jnp.sum(w * gg, axis=0, keepdims=True)
         g_cb_ = jnp.sum(w * gb, axis=0, keepdims=True)
+        g_cd = jnp.sum(w * gd, axis=0, keepdims=True)
 
         grads = jnp.concatenate(
-            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_,
-             jnp.zeros((NFEAT - 9, CHUNK), jnp.float32)],
+            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_, g_cd,
+             jnp.zeros((NFEAT - 10, CHUNK), jnp.float32)],
             axis=0,
         )  # [16, 128]
 

@@ -150,13 +150,16 @@ def blend_tiles_pallas(
     conic: jnp.ndarray,  # [N, 3]
     opacity: jnp.ndarray,  # [N]
     color: jnp.ndarray,  # [N, 3] (already clamped >= 0 by the caller)
+    depth: jnp.ndarray,  # [N] camera-space z (render modes D/ED)
     *,
     grid_w: int,
     grid_h: int,
     tile_size: int,
     k_max: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas-path tile blend. Returns (tile_colors [T, P, 3], tile_alpha [T, P])."""
+    """Pallas-path tile blend.
+
+    Returns (tile_colors [T, P, 3], tile_alpha [T, P], tile_depth [T, P])."""
     assert tile_size * tile_size % 128 == 0, "pixel count per tile must be lane-aligned"
     n_tiles = grid_w * grid_h
     n = mean2d.shape[0]
@@ -198,50 +201,53 @@ def blend_tiles_pallas(
 
     statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size, max_chunks=max_chunks)
 
-    def _pack(m2d, con, op, col, gid):
+    def _pack(m2d, con, op, col, dep, gid):
         feats = jnp.stack(
             [
                 m2d[:, 0], m2d[:, 1],
                 con[:, 0], con[:, 1], con[:, 2],
                 op,
                 col[:, 0], col[:, 1], col[:, 2],
+                dep,
             ],
             axis=1,
-        )  # [N, 9]
-        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 9] row-gather
-        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - 9)))  # [MAX_AL, 16]
+        )  # [N, 10]
+        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 10] row-gather
+        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - 10)))  # [MAX_AL, 16]
         return packed.reshape(n_rows, CHUNK, NFEAT).transpose(0, 2, 1)  # [R, 16, 128]
 
     @jax.custom_vjp
-    def core(m2d, con, op, col, gid, rstart, count):
-        packed = _pack(m2d, con, op, col, gid)
+    def core(m2d, con, op, col, dep, gid, rstart, count):
+        packed = _pack(m2d, con, op, col, dep, gid)
         out, _ = blend_forward(packed, rstart, count, **statics)
-        return out[:, :, :4]
+        return out[:, :, :5]
 
-    def core_fwd(m2d, con, op, col, gid, rstart, count):
-        packed = _pack(m2d, con, op, col, gid)
+    def core_fwd(m2d, con, op, col, dep, gid, rstart, count):
+        packed = _pack(m2d, con, op, col, dep, gid)
         out, chk = blend_forward(packed, rstart, count, **statics)
-        return out[:, :, :4], (packed, chk, out, gid, rstart, count)
+        return out[:, :, :5], (packed, chk, out, gid, rstart, count)
 
-    def core_bwd(res, g4):
+    def core_bwd(res, g5):
         packed, chk, out, gid, rstart, count = res
-        gout = jnp.concatenate([g4, jnp.zeros((n_tiles, p, 4), jnp.float32)], axis=-1)
+        gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
         gpacked = blend_backward(packed, rstart, count, chk, out, gout, **statics)
-        ginst = gpacked.transpose(0, 2, 1).reshape(max_aligned, NFEAT)[:, :9]
-        acc = jnp.zeros((n, 9), jnp.float32).at[gid].add(ginst)
+        ginst = gpacked.transpose(0, 2, 1).reshape(max_aligned, NFEAT)[:, :10]
+        acc = jnp.zeros((n, 10), jnp.float32).at[gid].add(ginst)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]
         g_col = acc[:, 6:9]
+        g_dep = acc[:, 9]
 
         def f0(x):
             return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-        return g_m2d, g_con, g_op, g_col, f0(gid), f0(rstart), f0(count)
+        return g_m2d, g_con, g_op, g_col, g_dep, f0(gid), f0(rstart), f0(count)
 
     core.defvjp(core_fwd, core_bwd)
 
-    out4 = core(mean2d, conic, opacity, color, aligned_gid, row_start, count_capped)
-    tile_colors = out4[:, :, 0:3]
-    tile_alpha = 1.0 - out4[:, :, 3]
-    return tile_colors, tile_alpha
+    out5 = core(mean2d, conic, opacity, color, depth, aligned_gid, row_start, count_capped)
+    tile_colors = out5[:, :, 0:3]
+    tile_alpha = 1.0 - out5[:, :, 3]
+    tile_depth = out5[:, :, 4]
+    return tile_colors, tile_alpha, tile_depth

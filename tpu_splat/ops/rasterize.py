@@ -42,6 +42,7 @@ class RenderOutput(NamedTuple):
     image: jnp.ndarray  # [3, H, W]
     alpha: jnp.ndarray  # [H, W]
     aux: RasterAux
+    depth: jnp.ndarray | None = None  # [H, W] accumulated (D) or expected (ED) depth
 
 
 def _tile_pixel_centers(grid_w: int, grid_h: int, tile_size: int, dtype) -> jnp.ndarray:
@@ -99,7 +100,7 @@ def blend_tiles(
         return (accum, t_new, dead_new), None
 
     init = (
-        jnp.zeros((n_tiles, p, 3), f32),
+        jnp.zeros((n_tiles, p, color.shape[-1]), f32),
         jnp.ones((n_tiles, p), f32),
         jnp.zeros((n_tiles, p), bool),
     )
@@ -110,7 +111,7 @@ def blend_tiles(
 
 
 def assemble_image(
-    tile_colors: jnp.ndarray,  # [T, P, 3]
+    tile_colors: jnp.ndarray,  # [T, P, K]
     tile_alpha: jnp.ndarray,  # [T, P]
     grid_w: int,
     grid_h: int,
@@ -118,10 +119,11 @@ def assemble_image(
     width: int,
     height: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[T, P, *] tiles -> (image [3, H, W], alpha [H, W]), cropping tile padding."""
+    """[T, P, K] tiles -> (image [K, H, W], alpha [H, W]), cropping tile padding."""
     ts = tile_size
-    img = tile_colors.reshape(grid_h, grid_w, ts, ts, 3)
-    img = img.transpose(4, 0, 2, 1, 3).reshape(3, grid_h * ts, grid_w * ts)
+    k = tile_colors.shape[-1]
+    img = tile_colors.reshape(grid_h, grid_w, ts, ts, k)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(k, grid_h * ts, grid_w * ts)
     alpha = tile_alpha.reshape(grid_h, grid_w, ts, ts)
     alpha = alpha.transpose(0, 2, 1, 3).reshape(grid_h * ts, grid_w * ts)
     return img[:, :height, :width], alpha[:height, :width]
@@ -139,6 +141,7 @@ def default_backend() -> str:
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "k_max", "chunk", "tile_size", "backend",
+        "render_mode",
     ),
 )
 def rasterize(
@@ -154,12 +157,15 @@ def rasterize(
     chunk: int = 64,
     tile_size: int = 16,
     backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
+    render_mode: str = "RGB",  # RGB | D | ED | RGB_D | RGB_ED (rasterizer.hpp:25-32)
     mean2d_offset=None,  # [N,2] zeros; pass to read dL/dmean2d for densification
 ) -> RenderOutput:
     """End-to-end differentiable fast-path render of one camera.
 
     Background is composited OUTSIDE the blend as image + (1-alpha)*bg
     (fast_rasterizer.cpp:63), so bg does not receive gradients through the blend.
+    Render modes follow the reference (rasterizer.hpp:25-32): D accumulates alpha-weighted
+    camera-space depth, ED normalizes it by alpha (expected depth).
     """
     if backend == "auto":
         backend = default_backend()
@@ -178,26 +184,44 @@ def rasterize(
     # (recompute-in-fusion), turning a ~10 ms stage into ~400 ms on TPU.
     proj = jax.lax.optimization_barrier(proj)
 
+    want_depth = render_mode != "RGB"
+    tile_depth = None
     if backend == "pallas":
         from .pallas.raster import blend_tiles_pallas, build_sorted_instances
 
         inst = build_sorted_instances(proj, grid_w, grid_h, max_instances, tile_size)
-        tile_colors, tile_alpha = blend_tiles_pallas(
+        tile_colors, tile_alpha, tile_depth = blend_tiles_pallas(
             inst, proj.mean2d, proj.conic, proj.opacity,
-            jnp.maximum(proj.color, 0.0),
+            jnp.maximum(proj.color, 0.0), proj.depth,
             grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
         )
         counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)
     else:
         assign = build_tile_assignment(proj, grid_w, grid_h, max_instances, tile_size)
-        tile_colors, tile_alpha = blend_tiles(
-            assign, proj.mean2d, proj.conic, proj.opacity, proj.color,
+        colmat = proj.color
+        if want_depth:
+            # depth rides as a 4th blend channel (it is positive, unaffected by the
+            # color clamp inside blend_tiles)
+            colmat = jnp.concatenate([colmat, proj.depth[:, None]], axis=1)
+        tile_out, tile_alpha = blend_tiles(
+            assign, proj.mean2d, proj.conic, proj.opacity, colmat,
             grid_w, grid_h, tile_size, k_max, chunk,
         )
+        tile_colors = tile_out[:, :, :3]
+        if want_depth:
+            tile_depth = tile_out[:, :, 3]
         counters = (assign.total_instances, assign.max_tile_count, assign.n_visible)
     image, alpha = assemble_image(
         tile_colors, tile_alpha, grid_w, grid_h, tile_size, width, height
     )
+    depth = None
+    if want_depth and tile_depth is not None:
+        dimg, _ = assemble_image(
+            tile_depth[:, :, None], tile_alpha, grid_w, grid_h, tile_size, width, height
+        )
+        depth = dimg[0]
+        if render_mode in ("ED", "RGB_ED"):
+            depth = depth / jnp.maximum(alpha, 1e-10)
     if bg_color is not None:
         image = image + (1.0 - alpha)[None] * jnp.asarray(bg_color).reshape(3, 1, 1)
 
@@ -207,4 +231,4 @@ def rasterize(
         n_visible=counters[2],
         visible=jax.lax.stop_gradient(proj.visible),
     )
-    return RenderOutput(image=image, alpha=alpha, aux=aux)
+    return RenderOutput(image=image, alpha=alpha, aux=aux, depth=depth)
