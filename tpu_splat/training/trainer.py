@@ -155,6 +155,8 @@ class Trainer:
         self.evaluator = MetricsEvaluator(params.dataset.output_path or ".")
         self._bg_rng = np.random.default_rng(1234)
         self._loss_hist: list[float] = []
+        self.checkpoint_every: int = 0  # 0 = off; full-state checkpoints (checkpoint.py)
+        self.project = None  # optional core.project.Project for artifact bookkeeping
         log.info(
             "Trainer ready: %d train / %d val cameras, %d gaussians, capacity %d, scene_scale %.3f",
             len(self.train_cams), len(self.val_cams), n0, splat.capacity, splat.scene_scale,
@@ -323,7 +325,7 @@ class Trainer:
         out_dir.mkdir(parents=True, exist_ok=True)
         pending: list[PendingStep] = []
         t0 = time.time()
-        it = 1
+        it = int(self.state.iteration)  # > 1 when resumed from a checkpoint
         total = self.total_iterations
         try:
             while it <= total:
@@ -361,7 +363,25 @@ class Trainer:
                         continue
                     self.evaluate(it)
                 if it in opt.save_steps and not opt.skip_intermediate_saving and it != total:
-                    self.save_ply(out_dir / f"splat_{it}.ply")
+                    path = out_dir / f"splat_{it}.ply"
+                    self.save_ply(path)
+                    if self.project is not None:
+                        self.project.add_ply(f"iter_{it}", path, iteration=it)
+                if self.checkpoint_every and it % self.checkpoint_every == 0:
+                    redo = self._flush_pending(pending)
+                    if redo is not None:
+                        it = redo
+                        continue
+                    from .checkpoint import save_checkpoint
+
+                    ckpt = out_dir / f"checkpoint_{it}.npz"
+                    save_checkpoint(ckpt, self.state, extra={
+                        "plan_max_instances": self.plan.max_instances,
+                        "plan_k_max": self.plan.k_max,
+                    })
+                    if self.project is not None:
+                        self.project.add_checkpoint(ckpt)
+                    log.info("checkpoint saved: %s", ckpt)
                 it += 1
 
             redo = self._flush_pending(pending)
