@@ -1,0 +1,155 @@
+"""GUT path: camera models, UT projection, world-ray rasterizer.
+
+Reference coverage analog: tests/test_basic.cpp camera-model tests +
+test_gsplat_ops.cpp UT projection/pipeline tests (SURVEY.md §4).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_splat.core.splat import init_from_pointcloud
+from tpu_splat.ops.cameras import (
+    CameraParams, fisheye_project, fisheye_ray, pinhole_project, pinhole_ray,
+)
+from tpu_splat.ops.gut import rasterize_gut, ut_project
+from tpu_splat.ops.rasterize import rasterize
+
+from utils import make_camera, make_scene
+
+W, H = 64, 64
+F = 55.0
+
+
+def _cam_points(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(1, 8, n).astype(np.float32)
+    x = rng.uniform(-0.4, 0.4, n).astype(np.float32) * z
+    y = rng.uniform(-0.4, 0.4, n).astype(np.float32) * z
+    return jnp.asarray(np.stack([x, y, z], 1))
+
+
+def test_pinhole_distortion_roundtrip():
+    params = CameraParams(radial=(0.1, -0.05, 0.001, 0, 0, 0), tangential=(0.001, -0.002))
+    pts = _cam_points()
+    img, valid = pinhole_project(pts, F, F, W / 2, H / 2, params, W, H)
+    rays = pinhole_ray(img, F, F, W / 2, H / 2, params)
+    # rays must be parallel to the original camera points
+    ptsn = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    dots = jnp.sum(ptsn * rays, axis=-1)
+    ok = np.asarray(dots)[np.asarray(valid)]
+    assert ok.min() > 0.99999, ok.min()
+
+
+def test_fisheye_roundtrip():
+    params = CameraParams(model="fisheye", radial=(0.05, -0.01, 0.002, 0.0, 0, 0))
+    pts = _cam_points(seed=1)
+    img, valid = fisheye_project(pts, F, F, W / 2, H / 2, params, W, H)
+    rays = fisheye_ray(img, F, F, W / 2, H / 2, params)
+    ptsn = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    dots = np.asarray(jnp.sum(ptsn * rays, axis=-1))[np.asarray(valid)]
+    assert dots.min() > 0.9999, dots.min()
+
+
+def test_ut_matches_pinhole_projection_of_mean():
+    scene = make_scene(100, seed=2)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    w2c = jnp.eye(4)
+    proj, comp = ut_project(
+        splat["means"], splat["scaling_raw"], splat["rotation_raw"], splat["opacity_raw"],
+        splat["alive"], w2c, F, F, W / 2, H / 2, CameraParams(), W, H, 16, None,
+    )
+    # UT mean of an undistorted pinhole is close to the projected mean for small gaussians
+    z = np.asarray(splat["means"][:, 2])
+    expect_x = np.asarray(splat["means"][:, 0]) / z * F + W / 2
+    expect_y = np.asarray(splat["means"][:, 1]) / z * F + H / 2
+    vis = np.asarray(proj.visible)
+    assert vis.sum() > 20
+    err = np.abs(np.asarray(proj.mean2d[:, 0]) - expect_x)[vis]
+    assert np.median(err) < 1.0, np.median(err)
+    # compensation in (0, 1]
+    c = np.asarray(comp)[vis]
+    assert (c > 0).all() and (c <= 1.0 + 1e-5).all()
+
+
+def test_gut_render_close_to_fast_path_when_pinhole():
+    scene = make_scene(150, seed=3)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    cam = make_camera(W, H)
+    args = (splat["means"], splat["scaling_raw"], splat["rotation_raw"],
+            splat["opacity_raw"], splat["sh0"], splat["shN"], splat["alive"],
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["cam_position"]),
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], 3, jnp.zeros(3))
+    fast = rasterize(*args, width=W, height=H, max_instances=1 << 13, k_max=512, chunk=32)
+    gut = rasterize_gut(*args, width=W, height=H, max_instances=1 << 13, k_max=512,
+                        chunk=16)
+    # different response models (2D conic vs max-along-ray); images should agree coarsely,
+    # like the reference's image-level grading (test_rasterization.cpp:611)
+    diff = float(jnp.mean(jnp.abs(fast.image - gut.image)))
+    assert diff < 0.035, diff
+    assert float(jnp.mean(jnp.abs(fast.alpha - gut.alpha))) < 0.1
+
+
+def test_gut_gradients_flow_and_fit():
+    scene = make_scene(80, seed=4)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    cam = make_camera(48, 48)
+    gt = jnp.asarray(np.random.default_rng(0).random((3, 48, 48), np.float32))
+    params = CameraParams(radial=(0.05, 0, 0, 0, 0, 0))
+
+    def loss_fn(means, scaling, rot, opac, sh0, shN):
+        out = rasterize_gut(
+            means, scaling, rot, opac, sh0, shN, splat["alive"],
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["cam_position"]),
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], 3, jnp.zeros(3),
+            width=48, height=48, max_instances=1 << 12, k_max=256, chunk=16,
+            cam_params=params,
+        )
+        return jnp.mean((out.image - gt) ** 2)
+
+    keys = ("means", "scaling_raw", "rotation_raw", "opacity_raw", "sh0", "shN")
+    vals = [splat[k] for k in keys]
+    l0, grads = jax.value_and_grad(loss_fn, argnums=tuple(range(6)))(*vals)
+    assert np.isfinite(float(l0))
+    for k, g in zip(keys, grads):
+        assert np.isfinite(np.asarray(g)).all(), k
+        assert float(jnp.max(jnp.abs(g))) > 0, f"zero grad for {k}"
+
+    # a few SGD steps reduce the loss
+    lr = {"means": 1e-3, "scaling_raw": 1e-2, "rotation_raw": 1e-2,
+          "opacity_raw": 5e-2, "sh0": 5e-2, "shN": 5e-3}
+    for _ in range(10):
+        l, grads = jax.value_and_grad(loss_fn, argnums=tuple(range(6)))(*vals)
+        vals = [v - lr[k] * g for v, g, k in zip(vals, grads, keys)]
+    l_end = float(loss_fn(*vals))
+    assert l_end < float(l0), (float(l0), l_end)
+
+
+def test_gut_train_step_integration():
+    from tpu_splat.training.train_step import (RasterPlan, StepConfig, init_train_state,
+                                               train_step)
+
+    splat = init_from_pointcloud(
+        np.asarray(make_scene(60, seed=5)["means"]),
+        np.random.default_rng(0).random((60, 3), np.float32),
+        np.array([0, 0, 5.0], np.float32), capacity=128,
+    )
+    cam = make_camera(32, 32)
+    ts = init_train_state(splat, seed=2)
+    cfg = StepConfig(gut=True, cam_params=CameraParams(radial=(0.02, 0, 0, 0, 0, 0)))
+    plan = RasterPlan(max_instances=1 << 12, k_max=256, chunk=16)
+    gt = jnp.asarray(np.random.default_rng(3).random((3, 32, 32), np.float32))
+    losses = []
+    for _ in range(5):
+        ts, st = train_step(ts, gt, jnp.asarray(cam["w2c"]), jnp.asarray(cam["cam_position"]),
+                            cam["fx"], cam["fy"], cam["cx"], cam["cy"], jnp.zeros(3),
+                            jnp.int32(0), width=32, height=32, plan=plan, opt=cfg,
+                            total_iterations=100)
+        losses.append(float(st.loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.splat import SplatState
+from ..ops.cameras import CameraParams
+from ..ops.gut import rasterize_gut
 from ..ops.rasterize import rasterize
 from . import bilateral_grid as bg
 from . import poseopt as po
@@ -176,6 +178,10 @@ class StepConfig:
     init_rho: float = 5e-4
     sparsify_start: int = 30_000  # = base iterations (sparsity_optimizer.hpp:91)
     sparsify_steps: int = 15_000
+    # GUT path (--gut): distorted / fisheye cameras (trainer.cpp:586-597)
+    gut: bool = False
+    cam_params: CameraParams = CameraParams()
+    max_angle: Optional[float] = None
 
     @classmethod
     def from_params(cls, p) -> "StepConfig":
@@ -198,6 +204,7 @@ class StepConfig:
             init_rho=p.init_rho,
             sparsify_start=p.iterations,
             sparsify_steps=p.sparsify_steps,
+            gut=p.gut,
         )
 
 
@@ -240,16 +247,29 @@ def train_step(
         cam_pos_eff = (
             -w2c_eff[:3, :3].T @ w2c_eff[:3, 3] if use_pose else cam_position
         )
-        out = rasterize(
-            params["means"], params["scaling_raw"], params["rotation_raw"],
-            params["opacity_raw"], params["sh0"], params["shN"], splat.alive,
-            w2c_eff, cam_pos_eff, fx, fy, cx, cy,
-            sh_deg, bg_color,
-            width=width, height=height,
-            max_instances=plan.max_instances, k_max=plan.k_max, chunk=plan.chunk,
-            tile_size=plan.tile_size,
-            mean2d_offset=mean2d_offset,
-        )
+        if opt.gut:
+            # pose opt is incompatible with GUT in the reference too (trainer.cpp:371)
+            out = rasterize_gut(
+                params["means"], params["scaling_raw"], params["rotation_raw"],
+                params["opacity_raw"], params["sh0"], params["shN"], splat.alive,
+                w2c_eff, cam_pos_eff, fx, fy, cx, cy,
+                sh_deg, bg_color,
+                width=width, height=height,
+                max_instances=plan.max_instances, k_max=plan.k_max,
+                tile_size=plan.tile_size, cam_params=opt.cam_params,
+                max_angle=opt.max_angle,
+            )
+        else:
+            out = rasterize(
+                params["means"], params["scaling_raw"], params["rotation_raw"],
+                params["opacity_raw"], params["sh0"], params["shN"], splat.alive,
+                w2c_eff, cam_pos_eff, fx, fy, cx, cy,
+                sh_deg, bg_color,
+                width=width, height=height,
+                max_instances=plan.max_instances, k_max=plan.k_max, chunk=plan.chunk,
+                tile_size=plan.tile_size,
+                mean2d_offset=mean2d_offset,
+            )
         image = out.image
         if use_bilateral:
             image = bg.slice_grid(bilateral_grids[cam_idx], image)

@@ -142,6 +142,26 @@ class Trainer:
                 opt.sh_degree, opt.init_opacity, opt.init_scaling,
             )
 
+        # distorted / fisheye cameras require the GUT path (trainer.cpp:586-597)
+        needs_gut = any(c.requires_gut() for c in self.train_cams)
+        if needs_gut and not opt.gut:
+            raise ValueError(
+                "dataset has distorted/fisheye cameras: pass --gut (trainer.cpp:586-597)"
+            )
+        if opt.gut:
+            import dataclasses as dc
+
+            from ..ops.cameras import CameraParams, fisheye_max_angle
+
+            cam_params = CameraParams.from_camera(self.train_cams[0])
+            max_angle = (
+                fisheye_max_angle(cam_params) if cam_params.model == "fisheye" else None
+            )
+            self.step_cfg = dc.replace(self.step_cfg, gut=True, cam_params=cam_params,
+                                       max_angle=max_angle)
+            if opt.pose_optimization != "none":
+                raise ValueError("pose optimization is incompatible with --gut (trainer.cpp:371)")
+
         self.state = init_train_state(
             splat, seed=0, n_train_images=len(self.train_cams), opt=opt
         )
@@ -403,16 +423,28 @@ class Trainer:
         splat = self.state.splat
         it = int(self.state.iteration)
         sh_deg = min(it // self.opt.sh_degree_interval, splat.max_sh_degree)
-        out = rasterize(
+        args = (
             splat.means, splat.scaling_raw, splat.rotation_raw, splat.opacity_raw,
             splat.sh0, splat.shN, splat.alive,
             jnp.asarray(cam.world_view_transform), jnp.asarray(cam.cam_position),
             sample.fx, sample.fy, sample.cx, sample.cy,
             sh_deg, jnp.zeros(3, jnp.float32),
-            width=cam.image_width, height=cam.image_height,
-            max_instances=self.plan.max_instances, k_max=self.plan.k_max,
-            chunk=self.plan.chunk, tile_size=self.plan.tile_size,
         )
+        if self.step_cfg.gut:
+            from ..ops.gut import rasterize_gut
+
+            out = rasterize_gut(
+                *args, width=cam.image_width, height=cam.image_height,
+                max_instances=self.plan.max_instances, k_max=self.plan.k_max,
+                tile_size=self.plan.tile_size, cam_params=self.step_cfg.cam_params,
+                max_angle=self.step_cfg.max_angle,
+            )
+        else:
+            out = rasterize(
+                *args, width=cam.image_width, height=cam.image_height,
+                max_instances=self.plan.max_instances, k_max=self.plan.k_max,
+                chunk=self.plan.chunk, tile_size=self.plan.tile_size,
+            )
         return out.image
 
     def evaluate(self, iteration: int):
