@@ -27,12 +27,16 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 class LPIPSModel:
-    """Optional LPIPS via TorchScript VGG weights (same file the reference ships)."""
+    """LPIPS, preferring the native JAX VGG (training/lpips.py, runs on TPU) with a
+    torch-jit fallback for the reference's `weights/lpips_vgg.pt` TorchScript file."""
 
     def __init__(self, weights_path: str | Path = "weights/lpips_vgg.pt"):
+        from .lpips import LPIPSJax
+
+        self._jax = LPIPSJax(Path(weights_path).with_suffix(".npz"))
         self._model = None
         p = Path(weights_path)
-        if p.exists():
+        if not self._jax.available and p.exists():
             try:
                 import torch
 
@@ -42,9 +46,11 @@ class LPIPSModel:
 
     @property
     def available(self) -> bool:
-        return self._model is not None
+        return self._jax.available or self._model is not None
 
     def __call__(self, a: np.ndarray, b: np.ndarray) -> Optional[float]:
+        if self._jax.available:
+            return self._jax(np.asarray(a, np.float32), np.asarray(b, np.float32))
         if self._model is None:
             return None
         import torch

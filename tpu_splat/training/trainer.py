@@ -32,6 +32,7 @@ from ..core.splat import SplatState, init_from_pointcloud, init_random
 from ..io.loader import LoadResult, load
 from ..io.ply import save_splat_ply
 from ..ops.rasterize import rasterize
+from ..utils import events as ev
 from ..utils.log import get_logger
 from . import sparsity as sp
 from . import strategy_default, strategy_mcmc
@@ -177,6 +178,17 @@ class Trainer:
         self._loss_hist: list[float] = []
         self.checkpoint_every: int = 0  # 0 = off; full-state checkpoints (checkpoint.py)
         self.project = None  # optional core.project.Project for artifact bookkeeping
+        # control flags (reference: pause/save/stop atomics, trainer.cpp:427-472),
+        # driven by cmd::* events so a front-end thread can steer training
+        import threading
+
+        self._stop_flag = threading.Event()
+        self._pause_flag = threading.Event()
+        self._save_flag = threading.Event()
+        ev.when(ev.StopTraining, lambda e: self._stop_flag.set())
+        ev.when(ev.PauseTraining, lambda e: self._pause_flag.set())
+        ev.when(ev.ResumeTraining, lambda e: self._pause_flag.clear())
+        ev.when(ev.SaveCheckpoint, lambda e: self._save_flag.set())
         log.info(
             "Trainer ready: %d train / %d val cameras, %d gaussians, capacity %d, scene_scale %.3f",
             len(self.train_cams), len(self.val_cams), n0, splat.capacity, splat.scene_scale,
@@ -343,6 +355,7 @@ class Trainer:
         )
         out_dir = Path(self.params.dataset.output_path or "output")
         out_dir.mkdir(parents=True, exist_ok=True)
+        ev.emit(ev.TrainingStarted(total_iterations=self.total_iterations))
         pending: list[PendingStep] = []
         t0 = time.time()
         it = int(self.state.iteration)  # > 1 when resumed from a checkpoint
@@ -371,11 +384,37 @@ class Trainer:
 
                 if it % progress_every == 0 and self._loss_hist:
                     rate = it / (time.time() - t0)
+                    n_alive = int(self.state.splat.n_alive())
                     log.info(
                         "iter %d/%d loss %.4f alive %d %.2f it/s",
-                        it, total, self._loss_hist[-1],
-                        int(self.state.splat.n_alive()), rate,
+                        it, total, self._loss_hist[-1], n_alive, rate,
                     )
+                    ev.emit(ev.TrainingProgress(
+                        iteration=it, total_iterations=total,
+                        loss=self._loss_hist[-1], n_alive=n_alive, iters_per_s=rate,
+                    ))
+                if self._timelapse_due(it):
+                    redo = self._flush_pending(pending)
+                    if redo is not None:
+                        it = redo
+                        continue
+                    self._render_timelapse(it, out_dir)
+                if self._stop_flag.is_set():
+                    log.info("stop requested at iter %d", it)
+                    break
+                while self._pause_flag.is_set() and not self._stop_flag.is_set():
+                    time.sleep(0.1)
+                if self._save_flag.is_set():
+                    self._save_flag.clear()
+                    redo = self._flush_pending(pending)
+                    if redo is not None:
+                        it = redo
+                        continue
+                    from .checkpoint import save_checkpoint
+
+                    ckpt = out_dir / f"checkpoint_{it}.npz"
+                    save_checkpoint(ckpt, self.state)
+                    ev.emit(ev.CheckpointSaved(path=str(ckpt), iteration=it))
                 if opt.enable_eval and it in opt.eval_steps:
                     redo = self._flush_pending(pending)
                     if redo is not None:
@@ -406,6 +445,7 @@ class Trainer:
 
             redo = self._flush_pending(pending)
             self.save_ply(out_dir / "splat_final.ply")
+            ev.emit(ev.TrainingFinished(iteration=it - 1))
             if opt.save_sog:
                 from ..io.sog import save_sog
 
@@ -459,7 +499,33 @@ class Trainer:
             f"{result.lpips:.4f}" if result.lpips is not None else "n/a",
             result.num_images, result.elapsed_s,
         )
+        ev.emit(ev.EvaluationCompleted(
+            iteration=iteration, psnr=result.psnr, ssim=result.ssim,
+            lpips=result.lpips, num_images=result.num_images,
+        ))
         return result
+
+    # -------------------------------------------------------------- timelapse
+
+    def _timelapse_due(self, it: int) -> bool:
+        ds = self.params.dataset
+        return bool(ds.timelapse_images) and ds.timelapse_every > 0 and \
+            it % ds.timelapse_every == 0
+
+    def _render_timelapse(self, it: int, out_dir: Path) -> None:
+        """Render the watched training views (trainer.cpp:812-846)."""
+        from ..io.image import save_image
+
+        ds = self.params.dataset
+        wanted = set(ds.timelapse_images)
+        for idx, cam in enumerate(self.train_cams):
+            if cam.image_name not in wanted and Path(cam.image_name).stem not in wanted:
+                continue
+            sample = self.train_dataset.get(idx)
+            img = np.clip(np.asarray(self.render_camera(sample)), 0, 1)
+            d = out_dir / "timelapse" / Path(cam.image_name).stem
+            d.mkdir(parents=True, exist_ok=True)
+            save_image(str(d / f"{it:06d}.jpg"), img)
 
     def _alive_arrays(self) -> dict:
         splat = self.state.splat
