@@ -15,7 +15,18 @@ from ..core.camera import resolve_image_size
 def load_image(
     path: str, resize_factor: int = -1, max_width: int = 3840
 ) -> np.ndarray:
-    """Returns float32 CHW RGB in [0,1]."""
+    """Returns float32 CHW RGB in [0,1].
+
+    Prefers the native C++ decoder (io/native): GIL-free, so dataloader prefetch threads
+    decode in true parallel like the reference's worker threads (dataset.hpp:247-259)."""
+    if path.lower().endswith((".jpg", ".jpeg", ".png")):
+        from . import native_loader
+
+        if native_loader.available():
+            try:
+                return native_loader.load_image_native(path, resize_factor, max_width)
+            except RuntimeError:
+                pass  # corrupt header etc. — fall through to PIL
     with Image.open(path) as im:
         im = im.convert("RGB")
         w0, h0 = im.size
