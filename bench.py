@@ -105,6 +105,33 @@ def main():
 
     iters_per_s = iters / dt
     mpix_per_s = iters_per_s * width * height / 1e6
+
+    # pure forward render throughput (viewer/eval rate; Mpix/s is the BASELINE.md metric)
+    from tpu_splat.ops.rasterize import rasterize
+
+    splat_r = ts.splat
+
+    def render(means):
+        out = rasterize(
+            means, splat_r.scaling_raw, splat_r.rotation_raw, splat_r.opacity_raw,
+            splat_r.sh0, splat_r.shN, splat_r.alive,
+            cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+            3, jnp.zeros(3, jnp.float32),
+            width=width, height=height,
+            max_instances=plan.max_instances, k_max=plan.k_max, chunk=plan.chunk,
+        )
+        return means + 0.0 * out.image.mean()
+
+    m = render(splat_r.means)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    r_iters = 20
+    for _ in range(r_iters):
+        m = render(m)
+    jax.block_until_ready(m)
+    render_fps = r_iters / (time.perf_counter() - t0)
+    render_mpix = render_fps * width * height / 1e6
+
     result = {
         "metric": "train_iters_per_s_garden_like",
         "value": round(iters_per_s, 3),
@@ -112,6 +139,8 @@ def main():
         "vs_baseline": round(iters_per_s / 25.0, 3),
         "extra": {
             "mpix_per_s_trained": round(mpix_per_s, 2),
+            "render_fps": round(render_fps, 2),
+            "render_mpix_per_s": round(render_mpix, 1),
             "total_instances": total,
             "max_tile_count": ktile,
             "device": str(jax.devices()[0]),
