@@ -1,4 +1,5 @@
 """Quick on-TPU check: pallas blend fwd/bwd vs the XLA scan blend."""
+import sys, pathlib; sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 import jax
 import jax.numpy as jnp
 import numpy as np
