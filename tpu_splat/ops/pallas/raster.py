@@ -192,7 +192,6 @@ def blend_tiles_pallas(
     max_aligned = max_inst + n_tiles * CHUNK  # static bound: sum(padded) <= this
     n_rows = max_aligned // CHUNK
 
-    max_seg = grid_w * grid_h  # a gaussian's rect covers at most every tile
     pidx = jnp.arange(max_inst, dtype=jnp.int32)
     # per-instance shift = aligned_start[t] - tile_start[t], broadcast by cummax
     shift_at = (
@@ -266,17 +265,49 @@ def blend_tiles_pallas(
         # sorted), run a segmented Hillis-Steele inclusive scan, read segment ends
         ginst_pad = jnp.concatenate([ginst, jnp.zeros((1, 10), jnp.float32)], axis=0)
         ge = ginst_pad[jnp.minimum(qem, max_aligned)]  # [MAX_INST, 10]; sentinel -> 0
-        x = ge
+
+        # two-level segmented scan: 7 within-block steps on the full array + an affine
+        # associative scan over 32K block carries (vs 13 full-array steps single-level)
+        blk = 128
+        nb = max_inst // blk
+        xb = ge.reshape(nb, blk, 10)
+        rb = rank.reshape(nb, blk)
         step = 1
-        while step < 2 * max_seg:
+        while step < blk:
             shifted = jnp.concatenate(
-                [jnp.zeros((step, 10), jnp.float32), x[:-step]], axis=0
+                [jnp.zeros((nb, step, 10), jnp.float32), xb[:, :-step]], axis=1
             )
             same = jnp.concatenate(
-                [jnp.zeros((step,), bool), rank[step:] == rank[:-step]]
+                [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
             )
-            x = x + jnp.where(same[:, None], shifted, 0.0)
+            xb = xb + jnp.where(same[:, :, None], shifted, 0.0)
             step *= 2
+
+        last = xb[:, -1]  # [nb, 10] trailing-run sum at each block end
+        lastrank = rb[:, -1]
+        firstrank = rb[:, 0]
+        spans = (firstrank == lastrank).astype(jnp.float32)  # block is one segment run
+        eq = jnp.concatenate(
+            [jnp.zeros((1,), bool), lastrank[:-1] == firstrank[1:]]
+        )  # carry crosses into block b?
+        # carry[b] = A[b] * carry[b-1] + B[b]; composed with an associative scan
+        a_coef = jnp.where(
+            eq, jnp.concatenate([jnp.zeros((1,), jnp.float32), spans[:-1]]), 0.0
+        )[:, None]
+        b_coef = jnp.where(
+            eq[:, None], jnp.concatenate([jnp.zeros((1, 10), jnp.float32), last[:-1]]), 0.0
+        )
+
+        def affine_op(l, r):
+            al, bl = l
+            ar, br = r
+            return al * ar, br + ar * bl
+
+        _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
+        xb = xb + jnp.where(
+            (rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0
+        )
+        x = xb.reshape(max_inst, 10)
         per_rank = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]  # [N, 10]
         per_rank = per_rank * (seg_e > seg_s)[:, None]
         acc = per_rank[invo]  # depth rank -> gaussian id
