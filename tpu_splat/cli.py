@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["trace", "debug", "info", "warn", "error"])
     p.add_argument("--log-file")
     # view-mode options
+    p.add_argument("--crop-min", type=float, nargs=3, metavar=("X", "Y", "Z"),
+                   help="crop box min bounds (world units) for --view")
+    p.add_argument("--crop-max", type=float, nargs=3, metavar=("X", "Y", "Z"))
     p.add_argument("--view-frames", type=int, default=60)
     p.add_argument("--view-width", type=int, default=1280)
     p.add_argument("--view-height", type=int, default=720)
@@ -136,11 +139,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.view:
         from .render import render_orbit
 
+        crop = None
+        if args.crop_min and args.crop_max:
+            import numpy as np
+
+            from .core.geometry import BoundingBox
+
+            crop = BoundingBox(np.asarray(args.crop_min), np.asarray(args.crop_max))
         out = Path(args.output_path or "renders")
         render_orbit(
             args.view, out, n_frames=args.view_frames,
             width=args.view_width, height=args.view_height,
-            render_mode=args.render_mode or "RGB",
+            render_mode=args.render_mode or "RGB", crop_box=crop,
         )
         return 0
 

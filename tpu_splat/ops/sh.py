@@ -1,12 +1,10 @@
-"""Spherical-harmonics color evaluation, degree <= 3 (fast path).
+"""Spherical-harmonics color evaluation, degree <= 4.
 
-Matches `convert_sh_to_color` (fastgs/rasterization/include/kernel_utils.cuh:15-39): real SH
-basis constants hardcoded, view direction = normalize(mean - cam_pos), color = 0.5 + sum.
-The active degree is a *traced* int (bands masked), so SH-degree scheduling
-(sh_degree_interval) does not trigger recompilation.
-
-The gsplat path's degree-4 eval (gsplat/SphericalHarmonicsCUDA.cu:21-111) is deferred with the
-GUT path; the reference's fast path also caps at degree 3.
+Degrees <= 3 match `convert_sh_to_color` (fastgs/rasterization/include/kernel_utils.cuh:15-39)
+— the reference fast path's in-kernel cap — and degree 4 adds the gsplat Sloan fast basis
+(gsplat/SphericalHarmonicsCUDA.cu:76-103). View direction = normalize(mean - cam_pos),
+color = 0.5 + sum. The active degree is a *traced* int (bands masked), so SH-degree
+scheduling (sh_degree_interval) does not trigger recompilation.
 """
 
 from __future__ import annotations
@@ -71,5 +69,32 @@ def sh_to_color(
             + (SH_C3[0] * x * (-xx + 3.0 * yy)) * c[:, 14]
         )
         result = result + m3 * b3
+
+    if c.shape[1] >= 24:
+        # degree 4 (Sloan fast basis, gsplat/SphericalHarmonicsCUDA.cu:76-103)
+        m4 = (deg >= 4).astype(result.dtype)
+        fc1 = xx - yy
+        fs1 = 2.0 * xy
+        fc2 = x * fc1 - y * fs1
+        fs2 = x * fs1 + y * fc1
+        fc3 = x * fc2 - y * fs2
+        fs3 = x * fs2 + y * fc2
+        tmp0d = z * (-4.683325804901025 * zz + 2.007139630671868)
+        tmp1c = 3.31161143515146 * zz - 0.47308734787878
+        tmp2b = -1.770130769779931 * z
+        psh6 = 0.9461746957575601 * zz - 0.3153915652525201
+        psh12 = z * (1.865881662950577 * zz - 1.119528997770346)
+        b4 = (
+            (0.6258357354491763 * fs3) * c[:, 15]
+            + (tmp2b * fs2) * c[:, 16]
+            + (tmp1c * fs1) * c[:, 17]
+            + (tmp0d * y) * c[:, 18]
+            + (1.984313483298443 * z * psh12 - 1.006230589874905 * psh6) * c[:, 19]
+            + (tmp0d * x) * c[:, 20]
+            + (tmp1c * fc1) * c[:, 21]
+            + (tmp2b * fc2) * c[:, 22]
+            + (0.6258357354491763 * fc3) * c[:, 23]
+        )
+        result = result + m4 * b4
 
     return result

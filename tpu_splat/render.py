@@ -98,9 +98,14 @@ def render_orbit(
     elevation_deg: float = -15.0,
     radius_scale: float = 1.0,
     render_mode: str = "RGB",
+    crop_box=None,  # core.geometry.BoundingBox (viewer crop, rasterizer.cpp:84-136)
 ) -> list[Path]:
     """Turntable render around the model's centroid."""
     state = load_model(model_path)
+    if crop_box is not None:
+        from .core.geometry import crop_splat_by_box
+
+        state = crop_splat_by_box(state, crop_box)
     means = np.asarray(state.means)[np.asarray(state.alive)]
     center = means.mean(axis=0)
     radius = float(np.percentile(np.linalg.norm(means - center, axis=1), 90)) * 2.0 * radius_scale
