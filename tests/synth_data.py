@@ -30,15 +30,21 @@ def rotmat_to_qvec(r):
     return np.array([w, x, y, z])
 
 
-def write_colmap_binary(base: Path, cams: list[dict], points: np.ndarray, colors: np.ndarray):
+def write_colmap_binary(base: Path, cams: list[dict], points: np.ndarray, colors: np.ndarray,
+                        camera_model: str = "PINHOLE", distortion=()):
     sparse = base / "sparse" / "0"
     sparse.mkdir(parents=True, exist_ok=True)
 
     with open(sparse / "cameras.bin", "wb") as f:
         f.write(struct.pack("<Q", len(cams)))
         for i, c in enumerate(cams):
-            f.write(struct.pack("<iiQQ", i + 1, 1, c["width"], c["height"]))  # PINHOLE
-            f.write(struct.pack("<4d", c["fx"], c["fy"], c["cx"], c["cy"]))
+            if camera_model == "OPENCV":  # fx fy cx cy k1 k2 p1 p2
+                f.write(struct.pack("<iiQQ", i + 1, 4, c["width"], c["height"]))
+                k1, k2, p1, p2 = (tuple(distortion) + (0.0,) * 4)[:4]
+                f.write(struct.pack("<8d", c["fx"], c["fy"], c["cx"], c["cy"], k1, k2, p1, p2))
+            else:  # PINHOLE
+                f.write(struct.pack("<iiQQ", i + 1, 1, c["width"], c["height"]))
+                f.write(struct.pack("<4d", c["fx"], c["fy"], c["cx"], c["cy"]))
 
     with open(sparse / "images.bin", "wb") as f:
         f.write(struct.pack("<Q", len(cams)))
@@ -61,7 +67,8 @@ def write_colmap_binary(base: Path, cams: list[dict], points: np.ndarray, colors
             f.write(struct.pack("<Q", 0))  # empty track
 
 
-def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0):
+def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0,
+                          camera_model="PINHOLE", distortion=()):
     """Render a random gaussian cloud with the oracle from a ring of cameras."""
     import jax.numpy as jnp
 
@@ -100,5 +107,15 @@ def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0):
     idx = rng.permutation(n_gauss)[: n_gauss // 2]
     pts = scene["means"][idx]
     cols = np.clip(0.5 + 0.2820948 * scene["sh0"][idx, 0], 0, 1)
-    write_colmap_binary(base, cams, pts, cols)
+    write_colmap_binary(base, cams, pts, cols, camera_model=camera_model,
+                        distortion=distortion)
     return scene
+
+
+def make_synthetic_colmap_distorted(base: Path, n_gauss=100, n_cams=5, size=48, seed=0,
+                                    k1=0.03):
+    """Same scene, but cameras declared OPENCV with radial k1 (forces the --gut path).
+    GT images stay pinhole-rendered; with small k1 the mismatch is a few pixels — enough
+    for an end-to-end smoke test of the GUT training route."""
+    return make_synthetic_colmap(base, n_gauss, n_cams, size, seed,
+                                 camera_model="OPENCV", distortion=(k1, 0.0, 0.0, 0.0))

@@ -153,3 +153,32 @@ def test_gut_train_step_integration():
         losses.append(float(st.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_gut_cli_end_to_end(tmp_path):
+    """--gut training route on an OPENCV-distorted synthetic COLMAP dataset."""
+    from synth_data import make_synthetic_colmap_distorted
+    from tpu_splat.cli import main
+
+    ds = tmp_path / "ds"
+    make_synthetic_colmap_distorted(ds, n_gauss=60, n_cams=4, size=32, seed=7)
+    out = tmp_path / "out"
+    rc = main(["-d", str(ds), "-o", str(out), "-i", "8", "--headless", "--gut",
+               "--max-cap", "150", "--test-every", "0", "--sh-degree", "1"])
+    assert rc == 0
+    assert (out / "splat_final.ply").exists()
+
+
+def test_gut_required_for_distorted(tmp_path):
+    """Distorted cameras without --gut must be rejected (trainer.cpp:586-597)."""
+    import pytest
+    from synth_data import make_synthetic_colmap_distorted
+    from tpu_splat.cli import params_from_args, build_parser
+    from tpu_splat.training.trainer import Trainer
+
+    ds = tmp_path / "ds2"
+    make_synthetic_colmap_distorted(ds, n_gauss=40, n_cams=3, size=32, seed=8)
+    args = build_parser().parse_args(["-d", str(ds), "-o", str(tmp_path / "o"),
+                                      "--max-cap", "100"])
+    with pytest.raises(ValueError, match="gut"):
+        Trainer(params_from_args(args))
