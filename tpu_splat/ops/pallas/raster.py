@@ -28,7 +28,7 @@ from ..projection import Projected, will_contribute
 from .blend import CHUNK, NFEAT, blend_backward, blend_forward
 
 # G-table columns (per-gaussian, depth-ordered)
-G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_GID = range(11)
+G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_GID, G_OFFS = range(12)
 G_COLS = 16  # padded for an efficient row gather
 
 
@@ -80,12 +80,15 @@ def build_sorted_instances(
         axis=1,
     )
     gtab = jnp.pad(gtab, ((0, 0), (0, G_COLS - gtab.shape[1])))
-    gtab = jax.lax.optimization_barrier(gtab[order])  # [N, 16]
+    gtab = gtab[order]  # [N, 16] ONE row-gather into depth order
 
     counts = gtab[:, G_COUNT].astype(jnp.int32)
     offs_incl = jnp.cumsum(counts)
     offs_excl = offs_incl - counts
     total = offs_incl[-1]
+    # stash each gaussian's exclusive offset as a gtab column: the instance row-gather
+    # below then yields `startpos` for free (saves a second scatter+cummax scan)
+    gtab = jax.lax.optimization_barrier(gtab.at[:, G_OFFS].set(offs_excl.astype(f32)))
 
     # 3. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
     starts = jnp.where(counts > 0, offs_excl, max_instances)
@@ -96,17 +99,11 @@ def build_sorted_instances(
         .max(arange_n, mode="drop")
     )
     pos = jax.lax.cummax(pos)
-    startpos = (
-        jnp.zeros((max_instances,), jnp.int32)
-        .at[starts]
-        .max(offs_excl, mode="drop")
-    )
-    startpos = jax.lax.cummax(startpos)
 
     inst_id = jnp.arange(max_instances, dtype=jnp.int32)
-    k = (inst_id - startpos).astype(f32)
 
     r = jax.lax.optimization_barrier(gtab[pos])  # [MAX_INST, 16] ONE row-gather
+    k = inst_id.astype(f32) - r[:, G_OFFS]  # offs_excl < 2^22: exact in f32
     in_range = (inst_id < total) & (k < r[:, G_COUNT])
 
     # tile coords via float division (k < ~2^20, rect_w < 2^11: exact)
