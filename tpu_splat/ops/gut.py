@@ -168,7 +168,9 @@ def _gut_blend(
         o = gin.opacity[g]  # [T,C]
         col = colmat[g]  # [T,C,kc]
 
-        grd = jnp.einsum("tcij,tpj->tcpi", m, rays_d)  # [T,C,P,3]
+        grd = jnp.einsum(
+            "tcij,tpj->tcpi", m, rays_d, precision=jax.lax.Precision.HIGHEST
+        )  # [T,C,P,3]
         grd = grd / jnp.maximum(jnp.linalg.norm(grd, axis=-1, keepdims=True), 1e-12)
         cr = jnp.cross(grd, gro[:, :, None, :])  # [T,C,P,3]
         power = -0.5 * jnp.sum(cr * cr, axis=-1)  # [T,C,P]
@@ -207,7 +209,7 @@ def _tile_pixel_points(grid_w: int, grid_h: int, tile_size: int, dtype):
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "k_max", "chunk", "tile_size",
-        "cam_params", "render_mode", "max_angle",
+        "cam_params", "render_mode", "max_angle", "backend",
     ),
 )
 def rasterize_gut(
@@ -225,6 +227,7 @@ def rasterize_gut(
     cam_params: CameraParams = CameraParams(),
     render_mode: str = "RGB",
     max_angle: float | None = None,
+    backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
 ) -> RenderOutput:
     """Differentiable GUT render of one camera (distorted pinhole / fisheye).
 
@@ -232,6 +235,10 @@ def rasterize_gut(
     (ProjectionUT3DGSFused is a plain kernel, not an autograd Function); gradients flow to
     the 3D parameters through the world-space ray response and SH colors.
     """
+    from .rasterize import default_backend
+
+    if backend == "auto":
+        backend = default_backend()
     if cam_params.model == "fisheye" and max_angle is None:
         max_angle = fisheye_max_angle(cam_params)
     grid_w = -(-width // tile_size)
@@ -243,7 +250,6 @@ def rasterize_gut(
         alive, w2c, fx, fy, cx, cy, cam_params, width, height, tile_size, max_angle,
     )
     proj, compensation = jax.lax.optimization_barrier((proj, compensation))
-    assign = build_tile_assignment(proj, grid_w, grid_h, max_instances, tile_size)
 
     # differentiable per-gaussian quantities
     rot = quat_to_rotmat(rotation_raw)
@@ -265,18 +271,35 @@ def rasterize_gut(
     cam_rays = pixel_rays(pix, fx, fy, cx, cy, cam_params, max_angle)  # [T,P,3]
     rays_d = jax.lax.stop_gradient(cam_rays @ w2c[:3, :3])  # world-space directions
 
-    gin = _GutBlendInputs(
-        isclrot=isclrot, gro=gro, opacity=opacity, color=color, depth=proj.depth
-    )
     want_depth = render_mode != "RGB"
-    tile_out, tile_alpha = _gut_blend(
-        assign, gin, rays_d, grid_w, grid_h, tile_size, k_max, chunk, want_depth
-    )
+    if backend == "pallas":
+        from .pallas.gut_kernels import gut_blend_tiles_pallas
+        from .pallas.raster import build_sorted_instances
+
+        inst = build_sorted_instances(proj, grid_w, grid_h, max_instances, tile_size)
+        rays4 = jnp.concatenate(
+            [rays_d, jnp.zeros_like(rays_d[:, :, :1])], axis=-1
+        )  # [T, P, 4]
+        tile_colors, tile_alpha, tile_depth = gut_blend_tiles_pallas(
+            inst, isclrot, gro, opacity, color, proj.depth, rays4,
+            grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
+        )
+        tile_out = jnp.concatenate([tile_colors, tile_depth[:, :, None]], axis=-1)
+        counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)
+    else:
+        assign = build_tile_assignment(proj, grid_w, grid_h, max_instances, tile_size)
+        gin = _GutBlendInputs(
+            isclrot=isclrot, gro=gro, opacity=opacity, color=color, depth=proj.depth
+        )
+        tile_out, tile_alpha = _gut_blend(
+            assign, gin, rays_d, grid_w, grid_h, tile_size, k_max, chunk, want_depth
+        )
+        counters = (assign.total_instances, assign.max_tile_count, assign.n_visible)
     image, alpha = assemble_image(
         tile_out[:, :, :3], tile_alpha, grid_w, grid_h, tile_size, width, height
     )
     depth = None
-    if want_depth:
+    if want_depth and tile_out.shape[-1] > 3:
         dimg, _ = assemble_image(
             tile_out[:, :, 3:4], tile_alpha, grid_w, grid_h, tile_size, width, height
         )
@@ -287,9 +310,9 @@ def rasterize_gut(
         image = image + (1.0 - alpha)[None] * jnp.asarray(bg_color).reshape(3, 1, 1)
 
     aux = RasterAux(
-        total_instances=assign.total_instances,
-        max_tile_count=assign.max_tile_count,
-        n_visible=assign.n_visible,
+        total_instances=counters[0],
+        max_tile_count=counters[1],
+        n_visible=counters[2],
         visible=jax.lax.stop_gradient(proj.visible),
     )
     return RenderOutput(image=image, alpha=alpha, aux=aux, depth=depth)

@@ -1,0 +1,431 @@
+"""Pallas TPU kernels for the GUT world-space ray blend — forward + backward.
+
+TPU-native replacement for the reference's 3DGUT rasterizer
+(gsplat/RasterizeToPixelsFromWorld3DGSFwd.cu:20-442 and ...Bwd.cu:17-561). Per
+(pixel, gaussian): v = M d (M = S^-1 R^T, d = pixel's world ray), n = v/|v|,
+c = n x gro (gro = M (ray_o - mu)), power = -1/2 |c|^2 (max response along the ray),
+alpha = min(0.999, opac exp(power)) — SURVEY.md §8.6.
+
+Same compositing/checkpoint structure as blend.py (one lane cumprod per chunk, per-chunk
+transmittance checkpoints, replay backward), with the ray-response chain rule replacing the
+conic one: gradients flow to M (9), gro (3), opacity, rgb and depth. The reference's
+backward recomputes per-pixel rays and warp-reduces with atomics (Bwd.cu:340-344); here
+per-gaussian gradients are lane-reductions into disjoint chunk rows.
+
+Feature rows (NFEAT_GUT = 32, two (16,128) f32 tiles per chunk):
+  0-8: M row-major | 9-11: gro xyz | 12: opacity | 13-15: rgb | 16: depth.
+Per-tile world rays arrive as a [T, P, 4] input block (xyz + pad), precomputed in XLA
+through the camera model (cameras.py), matching the reference's per-pixel
+image_point_to_camera_ray (Cameras.cuh:962-1000).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .blend import (
+    CHUNK,
+    MAX_FRAGMENT_ALPHA,
+    MIN_ALPHA,
+    TRANSMITTANCE_THRESHOLD,
+    _composite_chunk,
+    _exclusive_from_inclusive_prod,
+    _lane_cumprod,
+    _lane_cumsum,
+    _lane_iota_row,
+)
+
+NFEAT_GUT = 32
+(F_M00, F_M01, F_M02, F_M10, F_M11, F_M12, F_M20, F_M21, F_M22,
+ F_GX, F_GY, F_GZ, F_OP, F_R, F_G, F_B, F_D) = range(17)
+
+
+def _ray_response(data, rdx, rdy, rdz, lane_valid):
+    """alpha + masks + residuals for one chunk.
+
+    data [32, 128]; rd* [P, 1]. Returns (a, valid, one_m, resid dict) with [P, C] arrays.
+    """
+    def row(i):
+        return data[i : i + 1, :]
+
+    v1 = row(F_M00) * rdx + row(F_M01) * rdy + row(F_M02) * rdz  # [P, C]
+    v2 = row(F_M10) * rdx + row(F_M11) * rdy + row(F_M12) * rdz
+    v3 = row(F_M20) * rdx + row(F_M21) * rdy + row(F_M22) * rdz
+    vv = v1 * v1 + v2 * v2 + v3 * v3
+    inorm = jax.lax.rsqrt(jnp.maximum(vv, 1e-24))
+    n1, n2, n3 = v1 * inorm, v2 * inorm, v3 * inorm
+    gx, gy, gz = row(F_GX), row(F_GY), row(F_GZ)
+    c1 = n2 * gz - n3 * gy
+    c2 = n3 * gx - n1 * gz
+    c3 = n1 * gy - n2 * gx
+    power = -0.5 * (c1 * c1 + c2 * c2 + c3 * c3)
+    e = jnp.exp(power)
+    alpha_raw = row(F_OP) * e
+    alpha = jnp.minimum(alpha_raw, MAX_FRAGMENT_ALPHA)
+    valid = (alpha >= MIN_ALPHA) & lane_valid
+    a = jnp.where(valid, alpha, 0.0)
+    resid = dict(n1=n1, n2=n2, n3=n3, inorm=inorm, c1=c1, c2=c2, c3=c3, e=e,
+                 alpha_raw=alpha_raw)
+    return a, valid, 1.0 - a, resid
+
+
+# ------------------------------------------------------------------------------- forward
+
+
+def _gut_fwd_kernel(
+    row_start_ref, count_ref,
+    packed_ref,  # [R, 32, 128] HBM
+    rays_ref,  # [1, P, 4] VMEM (world ray directions per pixel of this tile)
+    out_ref,  # [1, P, 8] VMEM: rgb, T_final, depth-accum
+    chk_ref,  # [1, P, MAXC] VMEM
+    buf, chk_s, sems,
+    *,
+    tile_size: int,
+):
+    t = pl.program_id(0)
+    row0 = row_start_ref[t]
+    count = count_ref[t]
+    nch = (count + CHUNK - 1) // CHUNK
+    p = tile_size * tile_size
+    maxc = chk_ref.shape[2]
+    chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
+    chk_s[:] = jnp.zeros((p, maxc), jnp.float32)
+    lane = _lane_iota_row()
+    rdx = rays_ref[0, :, 0:1]  # [P, 1]
+    rdy = rays_ref[0, :, 1:2]
+    rdz = rays_ref[0, :, 2:3]
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(c):
+        j, r, g, b, dep, t_run, dead = c
+        return (j < nch) & (jnp.min(dead) < 0.5)
+
+    def body(c):
+        j, r, g, b, dep, t_run, dead = c
+        slot = jax.lax.rem(j, 2)
+        get_dma(slot, j).wait()
+
+        @pl.when(j + 1 < nch)
+        def _():
+            get_dma(1 - slot, j + 1).start()
+
+        data = buf[slot]  # [32, 128]
+        chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
+
+        lane_valid = lane < (count - j * CHUNK)
+        a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid)
+        w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
+
+        r = r + jnp.sum(w * data[F_R : F_R + 1, :], axis=-1, keepdims=True)
+        g = g + jnp.sum(w * data[F_G : F_G + 1, :], axis=-1, keepdims=True)
+        b = b + jnp.sum(w * data[F_B : F_B + 1, :], axis=-1, keepdims=True)
+        dep = dep + jnp.sum(w * data[F_D : F_D + 1, :], axis=-1, keepdims=True)
+        return j + 1, r, g, b, dep, t_new, dead_new
+
+    zero = jnp.zeros((p, 1), jnp.float32)
+    j, r, g, b, dep, t_run, dead = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zero, zero, zero, zero, zero + 1.0, zero)
+    )
+
+    @pl.when(j < nch)
+    def _():
+        get_dma(jax.lax.rem(j, 2), j).wait()
+
+    chk_ref[0] = chk_s[:]
+    out_ref[0] = jnp.concatenate(
+        [r, g, b, t_run, dep, jnp.zeros((p, 3), jnp.float32)], axis=-1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks"))
+def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size,
+                      max_chunks):
+    p = tile_size * tile_size
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, max_chunks), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, NFEAT_GUT, CHUNK), jnp.float32),
+            pltpu.VMEM((p, max_chunks), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gut_fwd_kernel, tile_size=tile_size),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, max_chunks), jnp.float32),
+        ),
+    )(row_start, tile_count, packed, rays)
+
+
+# ------------------------------------------------------------------------------ backward
+
+
+def _gut_bwd_kernel(
+    row_start_ref, count_ref,
+    packed_ref,  # [R, 32, 128] HBM
+    rays_ref,  # [1, P, 4] VMEM
+    chk_ref,  # [1, P, MAXC] VMEM
+    out_ref,  # [1, P, 8] VMEM
+    gout_ref,  # [1, P, 8] VMEM
+    gzero_ref,  # [R, 32, 128] HBM (aliased zero-init output)
+    gpacked_ref,  # [R, 32, 128] HBM output
+    buf, gbuf, sems, gsems,
+    *,
+    tile_size: int,
+):
+    del gzero_ref
+    t = pl.program_id(0)
+    row0 = row_start_ref[t]
+    count = count_ref[t]
+    nch = (count + CHUNK - 1) // CHUNK
+    p = tile_size * tile_size
+    lane = _lane_iota_row()
+    chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
+    rdx = rays_ref[0, :, 0:1]
+    rdy = rays_ref[0, :, 1:2]
+    rdz = rays_ref[0, :, 2:3]
+
+    gr = gout_ref[0, :, 0:1]
+    gg = gout_ref[0, :, 1:2]
+    gb = gout_ref[0, :, 2:3]
+    gt = gout_ref[0, :, 3:4]
+    gd = gout_ref[0, :, 4:5]
+    t_final = out_ref[0, :, 3:4]
+    s0 = t_final * gt
+
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+
+    def out_dma(slot, j):
+        return pltpu.make_async_copy(gbuf.at[slot], gpacked_ref.at[row0 + j], gsems.at[slot])
+
+    @pl.when(nch > 0)
+    def _():
+        in_dma(jax.lax.rem(nch - 1, 2), nch - 1).start()
+
+    def body(i, s_carry):
+        j = nch - 1 - i
+        slot = jax.lax.rem(j, 2)
+        in_dma(slot, j).wait()
+
+        @pl.when(j - 1 >= 0)
+        def _():
+            in_dma(1 - slot, j - 1).start()
+
+        data = buf[slot]
+        t_in = jnp.sum(jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True)
+
+        lane_valid = lane < (count - j * CHUNK)
+        a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid)
+        cp_incl = _lane_cumprod(one_m)
+        t_excl = t_in * _exclusive_from_inclusive_prod(cp_incl)
+        t_incl = t_in * cp_incl
+        use = valid & (t_incl >= TRANSMITTANCE_THRESHOLD)
+        usef = jnp.where(use, 1.0, 0.0)
+        w = usef * a * t_excl
+
+        def row(idx):
+            return data[idx : idx + 1, :]
+
+        cr, cg, cb_, cd = row(F_R), row(F_G), row(F_B), row(F_D)
+        cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd
+        u = w * cdotg
+        cum_u = _lane_cumsum(u)
+        total_u = cum_u[:, CHUNK - 1 : CHUNK]
+        suffix = (total_u - cum_u) + s_carry
+        dL_da = usef * (t_excl * cdotg - suffix / one_m)
+
+        notcl = jnp.where(rs["alpha_raw"] < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
+        dL_dpow = dL_da * rs["alpha_raw"] * notcl
+        g_op = jnp.sum(dL_da * rs["e"] * notcl, axis=0, keepdims=True)  # [1, C]
+
+        dc1 = dL_dpow * (-rs["c1"])
+        dc2 = dL_dpow * (-rs["c2"])
+        dc3 = dL_dpow * (-rs["c3"])
+        gx, gy, gz = row(F_GX), row(F_GY), row(F_GZ)
+        n1, n2, n3 = rs["n1"], rs["n2"], rs["n3"]
+        # dL/dn = gro x dL/dc ; dL/dgro = dL/dc x n
+        dn1 = gy * dc3 - gz * dc2
+        dn2 = gz * dc1 - gx * dc3
+        dn3 = gx * dc2 - gy * dc1
+        dg1 = dc2 * n3 - dc3 * n2
+        dg2 = dc3 * n1 - dc1 * n3
+        dg3 = dc1 * n2 - dc2 * n1
+        # n = v / |v|: dv = inorm * (dn - n (n . dn))
+        ndn = n1 * dn1 + n2 * dn2 + n3 * dn3
+        inorm = rs["inorm"]
+        dv1 = inorm * (dn1 - n1 * ndn)
+        dv2 = inorm * (dn2 - n2 * ndn)
+        dv3 = inorm * (dn3 - n3 * ndn)
+
+        def red(x):
+            return jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+
+        grads = jnp.concatenate(
+            [
+                red(dv1 * rdx), red(dv1 * rdy), red(dv1 * rdz),
+                red(dv2 * rdx), red(dv2 * rdy), red(dv2 * rdz),
+                red(dv3 * rdx), red(dv3 * rdy), red(dv3 * rdz),
+                red(dg1), red(dg2), red(dg3),
+                g_op,
+                red(w * gr), red(w * gg), red(w * gb), red(w * gd),
+                jnp.zeros((NFEAT_GUT - 17, CHUNK), jnp.float32),
+            ],
+            axis=0,
+        )  # [32, 128]
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, j).wait()
+
+        gbuf[slot] = grads
+        out_dma(slot, j).start()
+        return s_carry + total_u
+
+    _ = jax.lax.fori_loop(0, nch, body, s0)
+
+    @pl.when(nch >= 1)
+    def _():
+        out_dma(0, 0).wait()
+
+    @pl.when(nch >= 2)
+    def _():
+        out_dma(1, 0).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks"))
+def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
+                       n_tiles, tile_size, max_chunks):
+    p = tile_size * tile_size
+    gzero = jnp.zeros(packed.shape, jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, max_chunks), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, NFEAT_GUT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT_GUT, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gut_bwd_kernel, tile_size=tile_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        input_output_aliases={7: 0},  # gzero (indices include scalar-prefetch operands)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(row_start, tile_count, packed, rays, chk, out, gout, gzero)
+
+
+# ------------------------------------------------------------------ custom-VJP wrapper
+
+
+def gut_blend_tiles_pallas(
+    inst,  # raster.SortedInstances (from build_sorted_instances over the UT projection)
+    isclrot: jnp.ndarray,  # [N, 3, 3] S^-1 R^T
+    gro: jnp.ndarray,  # [N, 3] M (ray_o - mu)
+    opacity: jnp.ndarray,  # [N] sigmoid * compensation
+    color: jnp.ndarray,  # [N, 3] clamped >= 0
+    depth: jnp.ndarray,  # [N]
+    rays: jnp.ndarray,  # [T, P, 4] world ray directions (xyz + pad)
+    *,
+    grid_w: int,
+    grid_h: int,
+    tile_size: int,
+    k_max: int,
+):
+    """Pallas GUT blend. Returns (tile_colors [T,P,3], tile_alpha [T,P], tile_depth)."""
+    from .raster import align_segments, segmented_grad_reduce
+
+    n_tiles = grid_w * grid_h
+    n = gro.shape[0]
+    k_max_al = ((k_max + CHUNK - 1) // CHUNK) * CHUNK
+    max_chunks = min(k_max_al // CHUNK, 128)
+    p = tile_size * tile_size
+
+    (row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows) = align_segments(
+        inst, n_tiles, max_chunks
+    )
+    statics = dict(n_tiles=n_tiles, tile_size=tile_size, max_chunks=max_chunks)
+
+    def _pack(m, g, op, col, dep, gid):
+        feats = jnp.concatenate(
+            [m.reshape(n, 9), g, op[:, None], col, dep[:, None]], axis=1
+        )  # [N, 17]
+        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 17]
+        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT_GUT - 17)))
+        return packed.reshape(n_rows, CHUNK, NFEAT_GUT).transpose(0, 2, 1)
+
+    @jax.custom_vjp
+    def core(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+        packed = _pack(m, g, op, col, dep, gid)
+        out, _ = gut_blend_forward(packed, ry, rstart, count, **statics)
+        return out[:, :, :5]
+
+    def core_fwd(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+        packed = _pack(m, g, op, col, dep, gid)
+        out, chk = gut_blend_forward(packed, ry, rstart, count, **statics)
+        return out[:, :, :5], (packed, chk, out, ry, gid, rstart, count, qem, rank,
+                               seg_s, seg_e, invo)
+
+    def core_bwd(res, g5):
+        packed, chk, out, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo = res
+        gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
+        gpacked = gut_blend_backward(packed, ry, rstart, count, chk, out, gout, **statics)
+        ginst = jnp.stack(
+            [gpacked[:, f, :].reshape(-1) for f in range(17)], axis=1
+        )  # [MAX_AL, 17]
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo)
+        g_m = acc[:, 0:9].reshape(n, 3, 3)
+        g_gro = acc[:, 9:12]
+        g_op = acc[:, 12]
+        g_col = acc[:, 13:16]
+        g_dep = acc[:, 16]
+
+        def f0(y):
+            import numpy as np
+
+            return np.zeros(y.shape, dtype=jax.dtypes.float0)
+
+        return (g_m, g_gro, g_op, g_col, g_dep, f0(ry), f0(gid), f0(rstart), f0(count),
+                f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(invo))
+
+    core.defvjp(core_fwd, core_bwd)
+
+    out5 = core(isclrot, gro, opacity, color, depth,
+                jax.lax.stop_gradient(rays), aligned_gid, row_start, count_capped,
+                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, inst.inv_order)
+    return out5[:, :, 0:3], 1.0 - out5[:, :, 3], out5[:, :, 4]

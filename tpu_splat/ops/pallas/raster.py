@@ -155,32 +155,16 @@ def build_sorted_instances(
     )
 
 
-def blend_tiles_pallas(
-    inst: SortedInstances,
-    mean2d: jnp.ndarray,  # [N, 2]
-    conic: jnp.ndarray,  # [N, 3]
-    opacity: jnp.ndarray,  # [N]
-    color: jnp.ndarray,  # [N, 3] (already clamped >= 0 by the caller)
-    depth: jnp.ndarray,  # [N] camera-space z (render modes D/ED)
-    *,
-    grid_w: int,
-    grid_h: int,
-    tile_size: int,
-    k_max: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas-path tile blend.
+def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int):
+    """128-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
 
-    Returns (tile_colors [T, P, 3], tile_alpha [T, P], tile_depth [T, P])."""
-    assert tile_size * tile_size % 128 == 0, "pixel count per tile must be lane-aligned"
-    n_tiles = grid_w * grid_h
-    n = mean2d.shape[0]
+    Instance-side remap via scatter+cummax scans (a 4M-query searchsorted costs ~400 ms).
+    Returns (row_start [T], count_capped [T], aligned_gid [MAX_AL], qa_emis [MAX_INST],
+    max_aligned, n_rows). qa_emis maps emission slots to aligned slots (sentinel
+    max_aligned = no gradient), letting backwards reduce per-gaussian gradients over
+    CONTIGUOUS sorted segments with a log-depth segmented scan (~7x cheaper than a 4M-row
+    scatter-add, see tools/profiling/profile_scatter2.py)."""
     max_inst = inst.sorted_gid.shape[0]
-    k_max_al = ((k_max + CHUNK - 1) // CHUNK) * CHUNK
-    max_chunks = min(k_max_al // CHUNK, 128)  # checkpoint scratch is 128 lanes wide
-    p = tile_size * tile_size
-
-    # ---- 128-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
-    # Instance-side remap via scatter+cummax scans (a 4M-query searchsorted costs ~400 ms).
     count_capped = jnp.minimum(inst.tile_count, max_chunks * CHUNK)
     padded = ((count_capped + CHUNK - 1) // CHUNK) * CHUNK
     aligned_end = jnp.cumsum(padded)
@@ -209,14 +193,93 @@ def blend_tiles_pallas(
     aligned_gid = (
         jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
     )
-    # emission-slot -> aligned-slot map (sentinel max_aligned = no gradient): lets the
-    # backward reduce per-gaussian gradients over CONTIGUOUS sorted segments with a
-    # log-depth segmented scan (~7x cheaper than a 4M-row scatter-add, see
-    # tools/profiling/profile_scatter2.py)
     qa_emis = (
         jnp.full((max_inst,), max_aligned, jnp.int32)
         .at[inst.sorted_emis]
         .set(jnp.where(keep, qa, max_aligned), mode="drop")
+    )
+    return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
+
+
+def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo):
+    """Per-gaussian gradient totals from per-aligned-instance rows without a collision
+    scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
+    Hillis-Steele scan + affine associative carry propagation, segment-end gathers.
+
+    ginst [MAX_AL, width]; qem [MAX_INST] emission->aligned map (sentinel MAX_AL);
+    rank [MAX_INST] segment ids; seg_s/seg_e [N] segment bounds; invo [N] gid->rank.
+    Returns [N, width]."""
+    max_aligned, width = ginst.shape
+    max_inst = qem.shape[0]
+    ginst_pad = jnp.concatenate([ginst, jnp.zeros((1, width), ginst.dtype)], axis=0)
+    ge = ginst_pad[jnp.minimum(qem, max_aligned)]  # [MAX_INST, width]; sentinel -> 0
+
+    blk = 128
+    nb = max_inst // blk
+    xb = ge.reshape(nb, blk, width)
+    rb = rank.reshape(nb, blk)
+    step = 1
+    while step < blk:
+        shifted = jnp.concatenate(
+            [jnp.zeros((nb, step, width), ginst.dtype), xb[:, :-step]], axis=1
+        )
+        same = jnp.concatenate(
+            [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
+        )
+        xb = xb + jnp.where(same[:, :, None], shifted, 0.0)
+        step *= 2
+
+    last = xb[:, -1]  # [nb, width] trailing-run sum at each block end
+    lastrank = rb[:, -1]
+    firstrank = rb[:, 0]
+    spans = (firstrank == lastrank).astype(ginst.dtype)  # block is one segment run
+    eq = jnp.concatenate([jnp.zeros((1,), bool), lastrank[:-1] == firstrank[1:]])
+    a_coef = jnp.where(
+        eq, jnp.concatenate([jnp.zeros((1,), ginst.dtype), spans[:-1]]), 0.0
+    )[:, None]
+    b_coef = jnp.where(
+        eq[:, None], jnp.concatenate([jnp.zeros((1, width), ginst.dtype), last[:-1]]), 0.0
+    )
+
+    def affine_op(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, br + ar * bl
+
+    _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
+    xb = xb + jnp.where((rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0)
+    x = xb.reshape(max_inst, width)
+    per_rank = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]
+    per_rank = per_rank * (seg_e > seg_s)[:, None]
+    return per_rank[invo]  # depth rank -> gaussian id
+
+
+def blend_tiles_pallas(
+    inst: SortedInstances,
+    mean2d: jnp.ndarray,  # [N, 2]
+    conic: jnp.ndarray,  # [N, 3]
+    opacity: jnp.ndarray,  # [N]
+    color: jnp.ndarray,  # [N, 3] (already clamped >= 0 by the caller)
+    depth: jnp.ndarray,  # [N] camera-space z (render modes D/ED)
+    *,
+    grid_w: int,
+    grid_h: int,
+    tile_size: int,
+    k_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas-path tile blend.
+
+    Returns (tile_colors [T, P, 3], tile_alpha [T, P], tile_depth [T, P])."""
+    assert tile_size * tile_size % 128 == 0, "pixel count per tile must be lane-aligned"
+    n_tiles = grid_w * grid_h
+    n = mean2d.shape[0]
+    max_inst = inst.sorted_gid.shape[0]
+    k_max_al = ((k_max + CHUNK - 1) // CHUNK) * CHUNK
+    max_chunks = min(k_max_al // CHUNK, 128)  # checkpoint scratch is 128 lanes wide
+    p = tile_size * tile_size
+
+    (row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows) = align_segments(
+        inst, n_tiles, max_chunks
     )
 
     statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size, max_chunks=max_chunks)
@@ -257,57 +320,7 @@ def blend_tiles_pallas(
         ginst = jnp.stack(
             [gpacked[:, f, :].reshape(-1) for f in range(10)], axis=1
         )  # [MAX_AL, 10]
-        # per-gaussian reduction WITHOUT a collision scatter-add (measured ~7x slower):
-        # gather gradients into emission order (per-gaussian segments contiguous, ids
-        # sorted), run a segmented Hillis-Steele inclusive scan, read segment ends
-        ginst_pad = jnp.concatenate([ginst, jnp.zeros((1, 10), jnp.float32)], axis=0)
-        ge = ginst_pad[jnp.minimum(qem, max_aligned)]  # [MAX_INST, 10]; sentinel -> 0
-
-        # two-level segmented scan: 7 within-block steps on the full array + an affine
-        # associative scan over 32K block carries (vs 13 full-array steps single-level)
-        blk = 128
-        nb = max_inst // blk
-        xb = ge.reshape(nb, blk, 10)
-        rb = rank.reshape(nb, blk)
-        step = 1
-        while step < blk:
-            shifted = jnp.concatenate(
-                [jnp.zeros((nb, step, 10), jnp.float32), xb[:, :-step]], axis=1
-            )
-            same = jnp.concatenate(
-                [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
-            )
-            xb = xb + jnp.where(same[:, :, None], shifted, 0.0)
-            step *= 2
-
-        last = xb[:, -1]  # [nb, 10] trailing-run sum at each block end
-        lastrank = rb[:, -1]
-        firstrank = rb[:, 0]
-        spans = (firstrank == lastrank).astype(jnp.float32)  # block is one segment run
-        eq = jnp.concatenate(
-            [jnp.zeros((1,), bool), lastrank[:-1] == firstrank[1:]]
-        )  # carry crosses into block b?
-        # carry[b] = A[b] * carry[b-1] + B[b]; composed with an associative scan
-        a_coef = jnp.where(
-            eq, jnp.concatenate([jnp.zeros((1,), jnp.float32), spans[:-1]]), 0.0
-        )[:, None]
-        b_coef = jnp.where(
-            eq[:, None], jnp.concatenate([jnp.zeros((1, 10), jnp.float32), last[:-1]]), 0.0
-        )
-
-        def affine_op(l, r):
-            al, bl = l
-            ar, br = r
-            return al * ar, br + ar * bl
-
-        _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
-        xb = xb + jnp.where(
-            (rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0
-        )
-        x = xb.reshape(max_inst, 10)
-        per_rank = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]  # [N, 10]
-        per_rank = per_rank * (seg_e > seg_s)[:, None]
-        acc = per_rank[invo]  # depth rank -> gaussian id
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]
