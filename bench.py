@@ -132,6 +132,37 @@ def main():
     render_fps = r_iters / (time.perf_counter() - t0)
     render_mpix = render_fps * width * height / 1e6
 
+    # GUT path (distorted cameras): fwd+bwd step rate via the Pallas ray kernels
+    from tpu_splat.ops.cameras import CameraParams
+    from tpu_splat.ops.gut import rasterize_gut
+
+    gut_params = CameraParams(radial=(0.03, 0, 0, 0, 0, 0))
+
+    @jax.jit
+    def gut_step(m):
+        def loss(mm):
+            out = rasterize_gut(
+                mm, splat_r.scaling_raw, splat_r.rotation_raw, splat_r.opacity_raw,
+                splat_r.sh0, splat_r.shN, splat_r.alive,
+                cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                3, jnp.zeros(3, jnp.float32),
+                width=width, height=height,
+                max_instances=plan.max_instances, k_max=plan.k_max,
+                cam_params=gut_params,
+            )
+            return jnp.sum(out.image)
+
+        return m + 1e-9 * jax.grad(loss)(m)
+
+    m = gut_step(splat_r.means)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    g_iters = 8
+    for _ in range(g_iters):
+        m = gut_step(m)
+    jax.block_until_ready(m)
+    gut_fwdbwd_per_s = g_iters / (time.perf_counter() - t0)
+
     result = {
         "metric": "train_iters_per_s_garden_like",
         "value": round(iters_per_s, 3),
@@ -141,6 +172,7 @@ def main():
             "mpix_per_s_trained": round(mpix_per_s, 2),
             "render_fps": round(render_fps, 2),
             "render_mpix_per_s": round(render_mpix, 1),
+            "gut_fwdbwd_per_s": round(gut_fwdbwd_per_s, 3),
             "total_instances": total,
             "max_tile_count": ktile,
             "device": str(jax.devices()[0]),

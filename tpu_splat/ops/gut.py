@@ -16,9 +16,10 @@ Reference: the `--gut` pipeline (3DGUT, arXiv 2412.12507) —
 
 TPU design: the UT projection is plain vectorized XLA under stop_gradient (non-diff in the
 reference too — gradients reach the 3D parameters through the world-space blend instead).
-The blend reuses the chunked-scan machinery of ops/blend.py with the ray response replacing
-the conic response; `jax.checkpoint` per chunk gives the replay backward. A Pallas GUT
-kernel (16 features fit one [16, 128] block) is the planned fast path.
+The blend has two backends like the fast path: Pallas kernels on TPU
+(ops/pallas/gut_kernels.py — the hot path, ~10x the XLA scan) and a `jax.checkpoint`ed
+XLA chunk scan on CPU (also the numerical reference for the kernel parity check,
+tools/gut_parity_check.py).
 """
 
 from __future__ import annotations
