@@ -171,11 +171,11 @@ def _fwd_kernel(
         get_dma(0, 0).start()
 
     def cond(c):
-        j, r, g, b, dep, t_run, dead = c
+        j, acc4, t_run, dead = c
         return (j < nch) & (jnp.min(dead) < 0.5)
 
     def body(c):
-        j, r, g, b, dep, t_run, dead = c
+        j, acc4, t_run, dead = c
         slot = jax.lax.rem(j, 2)
         get_dma(slot, j).wait()
 
@@ -193,19 +193,16 @@ def _fwd_kernel(
         a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
         w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
 
-        cr = data[F_R : F_R + 1, :]
-        cg = data[F_G : F_G + 1, :]
-        cb_ = data[F_B : F_B + 1, :]
-        cd = data[F_D : F_D + 1, :]
-        r = r + jnp.sum(w * cr, axis=-1, keepdims=True)
-        g = g + jnp.sum(w * cg, axis=-1, keepdims=True)
-        b = b + jnp.sum(w * cb_, axis=-1, keepdims=True)
-        dep = dep + jnp.sum(w * cd, axis=-1, keepdims=True)
-        return j + 1, r, g, b, dep, t_new, dead_new
+        # color/depth accumulation as ONE MXU matmul instead of 4 lane reductions
+        col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [128, 4]
+        acc4 = acc4 + jax.lax.dot_general(
+            w, col4, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return j + 1, acc4, t_new, dead_new
 
     zero = jnp.zeros((p, 1), jnp.float32)
-    j, r, g, b, dep, t_run, dead = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zero, zero, zero, zero, zero + 1.0, zero)
+    j, acc4, t_run, dead = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((p, 4), jnp.float32), zero + 1.0, zero)
     )
 
     # early exit leaves one prefetch in flight (started for chunk j during chunk j-1's
@@ -216,7 +213,7 @@ def _fwd_kernel(
 
     chk_ref[0] = chk_s[:]
     out_ref[0] = jnp.concatenate(
-        [r, g, b, t_run, dep, jnp.zeros((p, 3), jnp.float32)], axis=-1
+        [acc4[:, 0:3], t_run, acc4[:, 3:4], jnp.zeros((p, 3), jnp.float32)], axis=-1
     )  # [P, 8]: rgb, final transmittance, accumulated depth
 
 
@@ -359,16 +356,23 @@ def _bwd_kernel(
         gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
         not_clamped = jnp.where(op * gauss < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
         dL_dsigma = dL_da * (-a) * not_clamped
-        g_mx = jnp.sum(dL_dsigma * (ca * dx + cb2 * dy), axis=0, keepdims=True)  # [1, C]
-        g_my = jnp.sum(dL_dsigma * (cc * dy + cb2 * dx), axis=0, keepdims=True)
-        g_ca = jnp.sum(dL_dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        g_cb = jnp.sum(dL_dsigma * dx * dy, axis=0, keepdims=True)
-        g_cc = jnp.sum(dL_dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        g_op = jnp.sum(dL_da * gauss * not_clamped, axis=0, keepdims=True)
-        g_cr = jnp.sum(w * gr, axis=0, keepdims=True)
-        g_cg = jnp.sum(w * gg, axis=0, keepdims=True)
-        g_cb_ = jnp.sum(w * gb, axis=0, keepdims=True)
-        g_cd = jnp.sum(w * gd, axis=0, keepdims=True)
+        ones_p = jnp.ones((1, p), jnp.float32)
+
+        def red(x):  # pixel-axis column sum as one MXU matmul (offloads the VPU)
+            return jax.lax.dot_general(
+                ones_p, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [1, C]
+
+        g_mx = red(dL_dsigma * (ca * dx + cb2 * dy))
+        g_my = red(dL_dsigma * (cc * dy + cb2 * dx))
+        g_ca = red(dL_dsigma * 0.5 * dx * dx)
+        g_cb = red(dL_dsigma * dx * dy)
+        g_cc = red(dL_dsigma * 0.5 * dy * dy)
+        g_op = red(dL_da * gauss * not_clamped)
+        g_cr = red(w * gr)
+        g_cg = red(w * gg)
+        g_cb_ = red(w * gb)
+        g_cd = red(w * gd)
 
         grads = jnp.concatenate(
             [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_, g_cd,
