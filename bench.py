@@ -86,10 +86,15 @@ def main():
     total = int(stats.total_instances)
     ktile = int(stats.max_tile_count)
 
-    def pow2(v):
-        return 1 << max(int(np.ceil(np.log2(max(v, 1)))), 8)
+    def bucket(v):
+        v = max(v, 256)
+        p2 = 1 << int(np.floor(np.log2(v)))
+        for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+            if p2 * frac >= v:
+                return int((p2 * frac + 127) // 128) * 128
+        return 2 * p2
 
-    plan = RasterPlan(max_instances=pow2(int(total * 1.2)), k_max=pow2(int(ktile * 1.2)),
+    plan = RasterPlan(max_instances=bucket(int(total * 1.2)), k_max=bucket(int(ktile * 1.2)),
                       chunk=128)
     kwargs["plan"] = plan
 

@@ -59,6 +59,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(math.ceil(math.log2(max(x, 1)))), 0)
 
 
+def _next_bucket(x: int) -> int:
+    """Quarter-pow2 buckets (1, 1.25, 1.5, 1.75 x 2^k), 128-aligned: the instance
+    pipeline's cost scales with the BUDGET, so pow2 rounding wastes up to 2x."""
+    x = max(x, 1)
+    p2 = 1 << max(int(math.floor(math.log2(x))), 0)
+    for frac in (1.0, 1.25, 1.5, 1.75, 2.0):
+        cand = int(p2 * frac)
+        if cand >= x:
+            return ((cand + 127) // 128) * 128
+    return 2 * p2
+
+
 def _sine_background(step: int, jitter: np.random.Generator) -> np.ndarray:
     """sine_background_for_step (trainer.cpp:497-537): phase-shifted RGB + jitter."""
     two_pi = 2.0 * math.pi
@@ -168,7 +180,7 @@ class Trainer:
         )
         n0 = int(splat.n_alive())
         self.plan = RasterPlan(
-            max_instances=max(_next_pow2(n0 * 8), 1 << 16),
+            max_instances=max(_next_bucket(n0 * 8), 1 << 16),
             k_max=1 << 12,
             chunk=64,
             tile_size=opt.tile_size,
@@ -252,13 +264,13 @@ class Trainer:
         new_plan = plan
         if total > plan.max_instances:
             new_plan = RasterPlan(
-                max_instances=_next_pow2(int(total * 1.3)),
+                max_instances=_next_bucket(int(total * 1.3)),
                 k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
             )
             redo = True
         elif total > 0.85 * plan.max_instances:
             new_plan = RasterPlan(
-                max_instances=plan.max_instances * 2,
+                max_instances=_next_bucket(int(plan.max_instances * 1.3)),
                 k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
             )
         if max_tile > new_plan.k_max:
