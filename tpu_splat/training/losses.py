@@ -19,6 +19,8 @@ from ..ops.ssim import ssim
 
 def photometric_loss(rendered: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float):
     l1 = jnp.mean(jnp.abs(rendered - gt))
+    if not lambda_dssim:  # static: skip the SSIM convs entirely when unweighted
+        return l1
     ssim_val = ssim(rendered, gt)
     return (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_val)
 
