@@ -182,3 +182,66 @@ def test_gut_required_for_distorted(tmp_path):
                                       "--max-cap", "100"])
     with pytest.raises(ValueError, match="gut"):
         Trainer(params_from_args(args))
+
+
+def _pose_from_w2c(w2c):
+    from scipy.spatial.transform import Rotation
+
+    x, y, z, w = Rotation.from_matrix(np.asarray(w2c)[:3, :3]).as_quat()
+    return (jnp.asarray([w, x, y, z], jnp.float32), jnp.asarray(w2c[:3, 3], jnp.float32))
+
+
+def test_rolling_shutter_static_pose_equals_global():
+    """With q_end == q_start the rolling-shutter render must equal global shutter."""
+    scene = make_scene(120, seed=6)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    cam = make_camera(48, 48)
+    q, t = _pose_from_w2c(cam["w2c"])
+    args = (splat["means"], splat["scaling_raw"], splat["rotation_raw"],
+            splat["opacity_raw"], splat["sh0"], splat["shN"], splat["alive"],
+            jnp.asarray(cam["w2c"]), jnp.asarray(cam["cam_position"]),
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], 3, jnp.zeros(3))
+    kw = dict(width=48, height=48, max_instances=1 << 12, k_max=256, chunk=16)
+    glob = rasterize_gut(*args, **kw)
+    roll = rasterize_gut(*args, cam_params=CameraParams(shutter="top_to_bottom"),
+                         shutter_pose=(q, t, q, t), **kw)
+    np.testing.assert_allclose(np.asarray(roll.image), np.asarray(glob.image), atol=2e-3)
+
+
+def test_rolling_shutter_interpolates_between_poses():
+    """Top rows follow the start pose, bottom rows the end pose."""
+    scene = make_scene(200, seed=7)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    cam = make_camera(48, 48)
+    w2c_start = np.asarray(cam["w2c"], np.float32)
+    w2c_end = w2c_start.copy()
+    w2c_end[0, 3] += 0.25  # camera translates during readout
+    qs, ts_ = _pose_from_w2c(w2c_start)
+    qe, te = _pose_from_w2c(w2c_end)
+    base = (splat["means"], splat["scaling_raw"], splat["rotation_raw"],
+            splat["opacity_raw"], splat["sh0"], splat["shN"], splat["alive"])
+    kw = dict(width=48, height=48, max_instances=1 << 12, k_max=256, chunk=16)
+
+    def render(w2c, cam_params=CameraParams(), pose=None):
+        w2c = jnp.asarray(w2c)
+        cpos = jnp.asarray((-np.asarray(w2c)[:3, :3].T @ np.asarray(w2c)[:3, 3]))
+        return rasterize_gut(*base, w2c, cpos, cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+                             3, jnp.zeros(3), cam_params=cam_params, shutter_pose=pose,
+                             **kw)
+
+    img_start = np.asarray(render(w2c_start).image)
+    img_end = np.asarray(render(w2c_end).image)
+    img_roll = np.asarray(render(
+        w2c_start, CameraParams(shutter="top_to_bottom"), (qs, ts_, qe, te)
+    ).image)
+
+    # rows near the top should match the start-pose render better than the end-pose one
+    def rowdiff(a, b, rows):
+        return float(np.mean(np.abs(a[:, rows] - b[:, rows])))
+
+    top = slice(0, 8)
+    bot = slice(40, 48)
+    assert rowdiff(img_roll, img_start, top) < rowdiff(img_roll, img_end, top)
+    assert rowdiff(img_roll, img_end, bot) < rowdiff(img_roll, img_start, bot)
+    # and the rolling render differs from both globally
+    assert float(np.mean(np.abs(img_roll - img_start))) > 1e-4

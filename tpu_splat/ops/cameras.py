@@ -7,8 +7,11 @@ fisheye forward odd polynomial theta + k1 th^3 + k2 th^5 + k3 th^7 + k4 th^9 and
 inversion (:894-1000). All functions are vectorized jnp over [..., 2/3] points — the
 reference's per-thread scalar math becomes dense VPU arrays.
 
-Rolling-shutter pose interpolation (Cameras.cuh:33-150) is not implemented yet; cameras are
-treated as global-shutter (the MipNeRF360/Blender benchmark datasets are global-shutter).
+Rolling-shutter pose interpolation (Cameras.cuh:33-150, 253-414) is implemented at the
+bottom of this module: linear translation + quaternion-slerp pose interpolation by each
+pixel's readout time, the iterative shutter-aware projection, and per-pixel world rays with
+varying origins. The shutter type lives in CameraParams (static); the start/end poses are
+traced (q, t) arrays.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ class CameraParams:
     radial: tuple = (0.0,) * 6
     tangential: tuple = (0.0, 0.0)
     thin_prism: tuple = (0.0,) * 4
+    shutter: str = "global"  # global | top_to_bottom | left_to_right | bottom_to_top | right_to_left
 
     @classmethod
     def from_camera(cls, cam) -> "CameraParams":
@@ -181,3 +185,106 @@ def pixel_rays(image_points, fx, fy, cx, cy, params: CameraParams,
     if params.model == "fisheye":
         return fisheye_ray(image_points, fx, fy, cx, cy, params, max_angle)
     return pinhole_ray(image_points, fx, fy, cx, cy, params)
+
+
+# ------------------------------------------------------------------- rolling shutter
+
+SHUTTER_TYPES = ("global", "top_to_bottom", "left_to_right", "bottom_to_top",
+                 "right_to_left")
+N_SHUTTER_ITERS = 10  # Cameras.cuh N_ROLLING_SHUTTER_ITERATIONS
+
+
+def quat_slerp(q0, q1, t):
+    """Vectorized quaternion slerp (wxyz), shortest arc; t broadcastable [..., 1]."""
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    sin_theta = jnp.sin(theta)
+    small = sin_theta < 1e-6
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(small, 1.0, sin_theta))
+    w1 = jnp.where(small, t, jnp.sin(t * theta) / jnp.where(small, 1.0, sin_theta))
+    q = w0 * q0 + w1 * q1
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+
+def quat_rotate(q, v):
+    """Rotate vectors v [..., 3] by quaternions q [..., 4] (wxyz)."""
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    uv = jnp.cross(u, v)
+    return v + 2.0 * (w * uv + jnp.cross(u, uv))
+
+
+def shutter_relative_time(image_points, shutter: str, width: int, height: int):
+    """Per-pixel relative frame time (Cameras.cuh shutter_relative_frame_time)."""
+    x = image_points[..., 0]
+    y = image_points[..., 1]
+    if shutter == "top_to_bottom":
+        return jnp.floor(y) / (height - 1)
+    if shutter == "left_to_right":
+        return jnp.floor(x) / (width - 1)
+    if shutter == "bottom_to_top":
+        return (height - jnp.ceil(y)) / (height - 1)
+    if shutter == "right_to_left":
+        return (width - jnp.ceil(x)) / (width - 1)
+    return jnp.zeros_like(x)
+
+
+def interpolate_shutter_pose(q_start, t_start, q_end, t_end, t_rel):
+    """Linear translation + slerp rotation (Cameras.cuh interpolate_shutter_pose).
+    t_rel [...]; returns (q [..., 4], t [..., 3])."""
+    tr = t_rel[..., None]
+    t = (1.0 - tr) * t_start + tr * t_end
+    q = quat_slerp(jnp.broadcast_to(q_start, tr.shape[:-1] + (4,)),
+                   jnp.broadcast_to(q_end, tr.shape[:-1] + (4,)), tr)
+    return q, t
+
+
+def project_points_shutter(
+    world_points, q_start, t_start, q_end, t_end,
+    fx, fy, cx, cy, params: CameraParams, width: int, height: int, shutter: str,
+    margin: float = 0.15, max_angle=None,
+):
+    """world_point_to_image_point_shutter_pose (Cameras.cuh:346-414), vectorized.
+
+    world_points [..., 3]. Iteratively refines the per-point readout time.
+    """
+    def proj(q, t):
+        cam = quat_rotate(q, world_points) + t
+        return project_points(cam, fx, fy, cx, cy, params, width, height, margin,
+                              max_angle)
+
+    img_start, valid_start = proj(q_start, t_start)
+    if shutter == "global":
+        return img_start, valid_start
+
+    img_end, valid_end = proj(q_end, t_end)
+    init = jnp.where(valid_start[..., None], img_start, img_end)
+    any_valid = valid_start | valid_end
+
+    img = init
+    for _ in range(N_SHUTTER_ITERS):
+        t_rel = jnp.clip(shutter_relative_time(img, shutter, width, height), 0.0, 1.0)
+        q_rs, t_rs = interpolate_shutter_pose(q_start, t_start, q_end, t_end, t_rel)
+        img, _ = proj(q_rs, t_rs)
+    return img, any_valid
+
+
+def pixel_world_rays_shutter(
+    image_points, q_start, t_start, q_end, t_end,
+    fx, fy, cx, cy, params: CameraParams, width: int, height: int, shutter: str,
+    max_angle=None,
+):
+    """Per-pixel world rays under a (possibly rolling) shutter
+    (image_point_to_world_ray_shutter_pose + ShutterPose.camera_ray_to_world_ray).
+
+    Returns (ray_o [..., 3], ray_d [..., 3]) in world space.
+    """
+    cam_ray = pixel_rays(image_points, fx, fy, cx, cy, params, max_angle)
+    t_rel = jnp.clip(shutter_relative_time(image_points, shutter, width, height), 0.0, 1.0)
+    q, t = interpolate_shutter_pose(q_start, t_start, q_end, t_end, t_rel)
+    q_inv = q * jnp.asarray([1.0, -1.0, -1.0, -1.0])
+    ray_o = quat_rotate(q_inv, -t)
+    ray_d = quat_rotate(q_inv, cam_ray)
+    return ray_o, ray_d

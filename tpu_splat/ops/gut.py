@@ -31,7 +31,15 @@ import jax
 import jax.numpy as jnp
 
 from .blend import composite_chunk
-from .cameras import CameraParams, fisheye_max_angle, pixel_rays, project_points
+from .cameras import (
+    CameraParams,
+    fisheye_max_angle,
+    pixel_rays,
+    pixel_world_rays_shutter,
+    project_points,
+    project_points_shutter,
+    quat_rotate,
+)
 from .projection import MAX_FRAGMENT_ALPHA, MIN_ALPHA, Projected
 from .quat import quat_to_rotmat
 from .rasterize import RasterAux, RenderOutput, assemble_image
@@ -49,6 +57,7 @@ def ut_project(
     means, scaling_raw, rotation_raw, opacity_raw, alive,
     w2c, fx, fy, cx, cy, cam_params: CameraParams,
     width: int, height: int, tile_size: int, max_angle: float | None,
+    shutter_pose=None,  # (q_start, t_start, q_end, t_end) when shutter != global
 ):
     """UT projection of all gaussians -> Projected-compatible struct + compensation."""
     f32 = means.dtype
@@ -70,9 +79,17 @@ def ut_project(
     r3 = w2c[:3, :3]
     t3 = w2c[:3, 3]
     cam_pts = pts @ r3.T + t3  # [N,7,3]
-    img_pts, pt_valid = project_points(
-        cam_pts, fx, fy, cx, cy, cam_params, width, height, max_angle=max_angle
-    )  # [N,7,2], [N,7]
+    if cam_params.shutter == "global" or shutter_pose is None:
+        img_pts, pt_valid = project_points(
+            cam_pts, fx, fy, cx, cy, cam_params, width, height, max_angle=max_angle
+        )  # [N,7,2], [N,7]
+    else:
+        # iterative shutter-aware projection (Cameras.cuh:346-414)
+        q_s, t_s, q_e, t_e = shutter_pose
+        img_pts, pt_valid = project_points_shutter(
+            pts, q_s, t_s, q_e, t_e, fx, fy, cx, cy, cam_params, width, height,
+            cam_params.shutter, max_angle=max_angle,
+        )
 
     weights_m = jnp.asarray([wm0] + [wi] * 6, f32)
     weights_c = jnp.asarray([wc0] + [wi] * 6, f32)
@@ -144,7 +161,7 @@ class _GutBlendInputs(NamedTuple):
 
 def _gut_blend(
     assign, gin: _GutBlendInputs, rays_d, grid_w: int, grid_h: int, tile_size: int,
-    k_max: int, chunk: int, want_depth: bool,
+    k_max: int, chunk: int, want_depth: bool, delta_o=None,
 ):
     """Chunked world-ray blend (RasterizeToPixelsFromWorld3DGSFwd.cu:207-241 semantics)."""
     n_tiles = grid_w * grid_h
@@ -173,7 +190,13 @@ def _gut_blend(
             "tcij,tpj->tcpi", m, rays_d, precision=jax.lax.Precision.HIGHEST
         )  # [T,C,P,3]
         grd = grd / jnp.maximum(jnp.linalg.norm(grd, axis=-1, keepdims=True), 1e-12)
-        cr = jnp.cross(grd, gro[:, :, None, :])  # [T,C,P,3]
+        gro_pp = gro[:, :, None, :]
+        if delta_o is not None:
+            # rolling shutter: ray origins vary per pixel; gro(p) = gro + M delta_o(p)
+            gro_pp = gro_pp + jnp.einsum(
+                "tcij,tpj->tcpi", m, delta_o, precision=jax.lax.Precision.HIGHEST
+            )
+        cr = jnp.cross(grd, gro_pp)  # [T,C,P,3]
         power = -0.5 * jnp.sum(cr * cr, axis=-1)  # [T,C,P]
         alpha = jnp.minimum(o[:, :, None] * jnp.exp(power), MAX_FRAGMENT_ALPHA)
         valid = (alpha >= MIN_ALPHA) & inst_valid[:, :, None]
@@ -229,6 +252,7 @@ def rasterize_gut(
     render_mode: str = "RGB",
     max_angle: float | None = None,
     backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
+    shutter_pose=None,  # (q_start [4], t_start [3], q_end [4], t_end [3]) arrays
 ) -> RenderOutput:
     """Differentiable GUT render of one camera (distorted pinhole / fisheye).
 
@@ -245,10 +269,16 @@ def rasterize_gut(
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
 
+    rolling = cam_params.shutter != "global" and shutter_pose is not None
+    if rolling:
+        backend = "xla"  # the Pallas GUT kernel assumes a shared ray origin per camera
     proj, compensation = ut_project(
         jax.lax.stop_gradient(means), jax.lax.stop_gradient(scaling_raw),
         jax.lax.stop_gradient(rotation_raw), jax.lax.stop_gradient(opacity_raw),
         alive, w2c, fx, fy, cx, cy, cam_params, width, height, tile_size, max_angle,
+        shutter_pose=None if shutter_pose is None else tuple(
+            jax.lax.stop_gradient(x) for x in shutter_pose
+        ),
     )
     proj, compensation = jax.lax.optimization_barrier((proj, compensation))
 
@@ -269,8 +299,18 @@ def rasterize_gut(
 
     # per-pixel world rays through the camera model (non-diff)
     pix = _tile_pixel_points(grid_w, grid_h, tile_size, means.dtype)  # [T,P,2]
-    cam_rays = pixel_rays(pix, fx, fy, cx, cy, cam_params, max_angle)  # [T,P,3]
-    rays_d = jax.lax.stop_gradient(cam_rays @ w2c[:3, :3])  # world-space directions
+    delta_o = None
+    if rolling:
+        q_s, t_s, q_e, t_e = (jax.lax.stop_gradient(x) for x in shutter_pose)
+        ray_o_pp, rays_d = pixel_world_rays_shutter(
+            pix, q_s, t_s, q_e, t_e, fx, fy, cx, cy, cam_params, width, height,
+            cam_params.shutter, max_angle,
+        )
+        rays_d = jax.lax.stop_gradient(rays_d)
+        delta_o = jax.lax.stop_gradient(ray_o_pp - cam_position[None, None, :])
+    else:
+        cam_rays = pixel_rays(pix, fx, fy, cx, cy, cam_params, max_angle)  # [T,P,3]
+        rays_d = jax.lax.stop_gradient(cam_rays @ w2c[:3, :3])  # world directions
 
     want_depth = render_mode != "RGB"
     if backend == "pallas":
@@ -293,7 +333,8 @@ def rasterize_gut(
             isclrot=isclrot, gro=gro, opacity=opacity, color=color, depth=proj.depth
         )
         tile_out, tile_alpha = _gut_blend(
-            assign, gin, rays_d, grid_w, grid_h, tile_size, k_max, chunk, want_depth
+            assign, gin, rays_d, grid_w, grid_h, tile_size, k_max, chunk, want_depth,
+            delta_o=delta_o,
         )
         counters = (assign.total_instances, assign.max_tile_count, assign.n_visible)
     image, alpha = assemble_image(
