@@ -10,10 +10,11 @@ scans (3-7x cheaper); the exact StopThePop per-tile contribution test
 (kernel_utils.cuh:108-143) is applied per emitted instance.
 
 Gradient flow: `blend_tiles_pallas` is a jax.custom_vjp over (mean2d, conic, opacity,
-color); its backward runs the hand-written Pallas kernel (transmittance-checkpoint replay,
-blend.py) and scatter-adds per-instance gradients back to per-gaussian arrays — the
-segment-sum equivalent of the reference's atomicAdd accumulation
-(kernels_backward.cuh:436-448).
+color, depth); its backward runs the hand-written Pallas kernel (transmittance-checkpoint
+replay, blend.py) and reduces per-instance gradients to per-gaussian totals with
+`segmented_grad_reduce` — a gather-to-emission-order + two-level segmented-scan scheme
+that replaces both the reference's atomicAdd accumulation (kernels_backward.cuh:436-448)
+and XLA's ~7x-slower collision scatter-add.
 """
 
 from __future__ import annotations
