@@ -76,7 +76,7 @@ def main():
     gt = jnp.asarray(np.random.default_rng(1).random((3, height, width), np.float32))
 
     # size the plan from a probe step
-    plan = RasterPlan(max_instances=1 << 22, k_max=1 << 12, chunk=128)
+    plan = RasterPlan(max_instances=1 << 22, k_max=1 << 12, chunk=256, tile_size=32)
     kwargs = dict(width=width, height=height, plan=plan, opt=StepConfig(),
                   total_iterations=30_000)
     args = (gt, cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
@@ -95,7 +95,7 @@ def main():
         return 2 * p2
 
     plan = RasterPlan(max_instances=bucket(int(total * 1.2)), k_max=bucket(int(ktile * 1.2)),
-                      chunk=128)
+                      chunk=256, tile_size=32)
     kwargs["plan"] = plan
 
     for _ in range(warmup):

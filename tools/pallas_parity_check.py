@@ -26,7 +26,9 @@ w2c = jnp.eye(4)
 cpos = jnp.zeros(3)
 bg = jnp.asarray([0.1, 0.2, 0.3])
 
-kw = dict(width=W, height=H, max_instances=1 << 15, k_max=1024, chunk=64)
+_chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 64  # 128/256 exercise kernel chunk widths
+_ts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+kw = dict(width=W, height=H, max_instances=1 << 15, k_max=1024, chunk=_chunk, tile_size=_ts)
 
 def run(backend):
     def loss_fn(m, s, r, o, c0, cN):

@@ -90,7 +90,11 @@ class OptimizationParameters:
     config_file: str = ""
 
     # TPU-native knobs (no reference counterpart)
-    tile_size: int = 16  # rasterizer tile edge; reference hardcodes 16 (rasterization_config.h:26)
+    # Rasterizer tile edge. The reference hardcodes 16 (rasterization_config.h:26, a CUDA
+    # thread-block shape); on TPU the per-instance pipeline (sort/scan/gather) dominates,
+    # and 32x32 tiles emit ~1.6x fewer instances for ~1.5x more in-kernel pixel work —
+    # measured ~15% faster end-to-end at garden scale. Blend semantics are identical.
+    tile_size: int = 32
     instance_budget: int = 0  # 0 = auto (pow2-bucketed from live counts)
     packed_backward: bool = True
 

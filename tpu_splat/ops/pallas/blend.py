@@ -43,7 +43,7 @@ MIN_ALPHA = 1.0 / 255.0
 MAX_FRAGMENT_ALPHA = 0.999
 TRANSMITTANCE_THRESHOLD = 1e-4
 
-CHUNK = 128  # gaussians per inner step (lane dim)
+CHUNK = 128  # default gaussians per inner step (lane dim); kernels accept 128 or 256
 
 
 def _lane_scan(x, op, identity):
@@ -69,6 +69,38 @@ def _lane_cumsum(x):
 
 def _lane_cummax(x):
     return _lane_scan(x, jnp.maximum, -jnp.inf)
+
+
+def _strict_upper(chunk: int):
+    """U[i, j] = 1 if i < j — dot(x, U) gives the EXCLUSIVE lane prefix-sum of x.
+
+    MXU matmuls replace the log-depth roll scans: the rolls measured ~4x the cost of a
+    plain elementwise pass at [1024, 256] (tools/profiling/profile_bwd_bisect.py) while a
+    [P,C]x[C,C] matmul is sub-microsecond on the MXU."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return jnp.where(row < col, 1.0, 0.0)
+
+
+def _strict_lower(chunk: int):
+    """S[i, j] = 1 if i > j — dot(x, S) gives the lane suffix-sum excluding self."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return jnp.where(row > col, 1.0, 0.0)
+
+
+def _mm(a, b, precision=None):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _lane_exclusive_cumsum_f32(x, u_strict):
+    """Exclusive lane prefix-sum via MXU at f32 fidelity: bf16 truncation of the inputs
+    costs ~0.4% relative — visible in the blended transmittance — so the prefix matmul
+    runs at HIGHEST (bf16x3) precision."""
+    return _mm(x, u_strict, precision=jax.lax.Precision.HIGHEST)
 
 
 def _pixel_coords(t, grid_w: int, tile_size: int, p: int):
@@ -135,8 +167,8 @@ def _composite_chunk(a, valid, one_m, t_run, dead):
     return w, t_new, dead_new
 
 
-def _lane_iota_row():
-    return jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+def _lane_iota_row(chunk: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
 
 # ------------------------------------------------------------------------------- forward
@@ -151,17 +183,18 @@ def _fwd_kernel(
     *,
     grid_w: int,
     tile_size: int,
+    chunk: int,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
     count = count_ref[t]
-    nch = (count + CHUNK - 1) // CHUNK
+    nch = (count + chunk - 1) // chunk
     p = tile_size * tile_size
     px, py = _pixel_coords(t, grid_w, tile_size, p)
     maxc = chk_ref.shape[2]
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
-    lane = _lane_iota_row()
+    lane = _lane_iota_row(chunk)
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -183,21 +216,23 @@ def _fwd_kernel(
         def _():
             get_dma(1 - slot, j + 1).start()
 
-        data = buf[slot]  # [16, 128]
+        data = buf[slot]  # [16, chunk]
         # checkpoint the chunk-entry transmittance (0 encodes "already stopped").
         # Mosaic forbids dynamic lane-index stores; a masked full-width select updates
-        # one column of the [P, MAXC] scratch instead (MAXC <= 128 lanes).
+        # one column of the [P, MAXC] scratch instead.
         chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
 
-        lane_valid = lane < (count - j * CHUNK)  # [1, 128] segment-tail mask
+        lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
         a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
+        # forward keeps the roll-scan recurrence: the MXU log/exp-matmul variant measured
+        # SLOWER here (87 vs 48 ms at ts=32/c=256 — the HIGHEST-precision prefix matmul
+        # costs more than the rolls it replaces; the backward wins because it replaces
+        # TWO scans per chunk)
         w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
 
         # color/depth accumulation as ONE MXU matmul instead of 4 lane reductions
-        col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [128, 4]
-        acc4 = acc4 + jax.lax.dot_general(
-            w, col4, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [C, 4]
+        acc4 = acc4 + _mm(w, col4)
         return j + 1, acc4, t_new, dead_new
 
     zero = jnp.zeros((p, 1), jnp.float32)
@@ -218,10 +253,10 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk")
 )
 def blend_forward(
-    packed: jax.Array,  # [R, 16, 128]
+    packed: jax.Array,  # [R, 16, chunk]
     row_start: jax.Array,  # [T] int32 chunk-row offsets into packed
     tile_count: jax.Array,  # [T] int32 (already capped at k_max)
     *,
@@ -229,6 +264,7 @@ def blend_forward(
     grid_w: int,
     tile_size: int,
     max_chunks: int,
+    chunk: int = CHUNK,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
@@ -243,18 +279,21 @@ def blend_forward(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
             pltpu.VMEM((p, max_chunks), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, chk = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size),
+        functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, max_chunks), jnp.float32),
         ),
+        # [P, chunk] intermediates at tile_size 32 / chunk 256 exceed the default
+        # 16 MiB scoped-vmem budget; v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(row_start, tile_count, packed)
     return out, chk
 
@@ -274,16 +313,19 @@ def _bwd_kernel(
     *,
     grid_w: int,
     tile_size: int,
+    chunk: int,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
     row0 = row_start_ref[t]
     count = count_ref[t]
-    nch = (count + CHUNK - 1) // CHUNK
+    nch = (count + chunk - 1) // chunk
     p = tile_size * tile_size
     px, py = _pixel_coords(t, grid_w, tile_size, p)
-    lane = _lane_iota_row()
+    lane = _lane_iota_row(chunk)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
+    u_strict = _strict_upper(chunk)
+    s_lower = _strict_lower(chunk)
 
     gr = gout_ref[0, :, 0:1]  # [P, 1]
     gg = gout_ref[0, :, 1:2]
@@ -319,11 +361,12 @@ def _bwd_kernel(
             jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True
         )  # [P, 1]; 0 where this chunk never ran (forward stopped earlier)
 
-        lane_valid = lane < (count - j * CHUNK)
+        lane_valid = lane < (count - j * chunk)
         a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
-        cp_incl = _lane_cumprod(one_m)
-        t_excl = t_in * _exclusive_from_inclusive_prod(cp_incl)
-        t_incl = t_in * cp_incl
+        # exclusive lane cumprod via exp(MXU prefix-sum of logs) — see _strict_upper
+        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        t_excl = t_in * cp_excl
+        t_incl = t_excl * one_m
         # monotone t_incl: the stop or-scan collapses to the threshold predicate
         # (t_in = 0 encodes "chunk never ran": everything below, all grads zero)
         use = valid & (t_incl >= TRANSMITTANCE_THRESHOLD)
@@ -337,9 +380,10 @@ def _bwd_kernel(
         cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd  # [P, C]
 
         u = w * cdotg
-        cum_u = _lane_cumsum(u)
-        total_u = cum_u[:, CHUNK - 1 : CHUNK]
-        suffix = (total_u - cum_u) + s_carry  # strictly-later gaussians (+ later chunks)
+        # strictly-later-lane suffix sum as one MXU matmul; total rides for free
+        sfx = _mm(u, s_lower)  # [P, C]: sum over lanes i > c
+        total_u = sfx[:, 0:1] + u[:, 0:1]
+        suffix = sfx + s_carry  # strictly-later gaussians (+ later chunks)
 
         dL_da = usef * (t_excl * cdotg - suffix / one_m)
 
@@ -358,27 +402,32 @@ def _bwd_kernel(
         dL_dsigma = dL_da * (-a) * not_clamped
         ones_p = jnp.ones((1, p), jnp.float32)
 
-        def red(x):  # pixel-axis column sum as one MXU matmul (offloads the VPU)
-            return jax.lax.dot_general(
-                ones_p, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [1, C]
-
-        g_mx = red(dL_dsigma * (ca * dx + cb2 * dy))
-        g_my = red(dL_dsigma * (cc * dy + cb2 * dx))
-        g_ca = red(dL_dsigma * 0.5 * dx * dx)
-        g_cb = red(dL_dsigma * dx * dy)
-        g_cc = red(dL_dsigma * 0.5 * dy * dy)
-        g_op = red(dL_da * gauss * not_clamped)
-        g_cr = red(w * gr)
-        g_cg = red(w * gg)
-        g_cb_ = red(w * gb)
-        g_cd = red(w * gd)
+        # pixel-axis column sums for all 10 gradient features as ONE MXU matmul
+        # ([1,P] x [P,10*C]) — ten separate tiny matmuls pay ~10x launch latency
+        stacked = jnp.concatenate(
+            [
+                dL_dsigma * (ca * dx + cb2 * dy),
+                dL_dsigma * (cc * dy + cb2 * dx),
+                dL_dsigma * 0.5 * dx * dx,
+                dL_dsigma * dx * dy,
+                dL_dsigma * 0.5 * dy * dy,
+                dL_da * gauss * not_clamped,
+                w * gr,
+                w * gg,
+                w * gb,
+                w * gd,
+            ],
+            axis=1,
+        )  # [P, 10*C]
+        red10 = jax.lax.dot_general(
+            ones_p, stacked, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [1, 10*C]
 
         grads = jnp.concatenate(
-            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_, g_cd,
-             jnp.zeros((NFEAT - 10, CHUNK), jnp.float32)],
+            [red10[:, i * chunk : (i + 1) * chunk] for i in range(10)]
+            + [jnp.zeros((NFEAT - 10, chunk), jnp.float32)],
             axis=0,
-        )  # [16, 128]
+        )  # [16, chunk] (lane slices are chunk-aligned -> cheap relayout)
 
         # wait for this slot's previous output flight before overwriting the buffer
         @pl.when(i >= 2)
@@ -403,10 +452,10 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk")
 )
 def blend_backward(
-    packed: jax.Array,  # [R, 16, 128]
+    packed: jax.Array,  # [R, 16, chunk]
     row_start: jax.Array,
     tile_count: jax.Array,
     chk: jax.Array,  # [T, P, MAXC]
@@ -417,8 +466,9 @@ def blend_backward(
     grid_w: int,
     tile_size: int,
     max_chunks: int,
+    chunk: int = CHUNK,
 ) -> jax.Array:
-    """Returns gpacked [R, 16, 128]; rows never touched by any tile stay zero
+    """Returns gpacked [R, 16, chunk]; rows never touched by any tile stay zero
     (zero-init via input-output aliasing)."""
     p = tile_size * tile_size
     gzero = jnp.zeros(packed.shape, jnp.float32)
@@ -434,17 +484,19 @@ def blend_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NFEAT, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     gpacked = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size),
+        functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         input_output_aliases={6: 0},  # gzero -> output (indices include scalar-prefetch args)
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(row_start, tile_count, packed, chk, out, gout, gzero)
     return gpacked

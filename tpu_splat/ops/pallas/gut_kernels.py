@@ -95,7 +95,7 @@ def _gut_fwd_kernel(
     maxc = chk_ref.shape[2]
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)
-    lane = _lane_iota_row()
+    lane = _lane_iota_row(CHUNK)
     rdx = rays_ref[0, :, 0:1]  # [P, 1]
     rdy = rays_ref[0, :, 1:2]
     rdz = rays_ref[0, :, 2:3]
@@ -177,6 +177,8 @@ def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, p, max_chunks), jnp.float32),
         ),
+        # [P, C] intermediates exceed the 16 MiB default scoped-vmem budget at tile 32
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(row_start, tile_count, packed, rays)
 
 
@@ -202,7 +204,7 @@ def _gut_bwd_kernel(
     count = count_ref[t]
     nch = (count + CHUNK - 1) // CHUNK
     p = tile_size * tile_size
-    lane = _lane_iota_row()
+    lane = _lane_iota_row(CHUNK)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
     rdx = rays_ref[0, :, 0:1]
     rdy = rays_ref[0, :, 1:2]
@@ -346,7 +348,9 @@ def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         input_output_aliases={7: 0},  # gzero (indices include scalar-prefetch operands)
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(row_start, tile_count, packed, rays, chk, out, gout, gzero)
 
 
@@ -390,25 +394,25 @@ def gut_blend_tiles_pallas(
         return packed.reshape(n_rows, CHUNK, NFEAT_GUT).transpose(0, 2, 1)
 
     @jax.custom_vjp
-    def core(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+    def core(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e):
         packed = _pack(m, g, op, col, dep, gid)
         out, _ = gut_blend_forward(packed, ry, rstart, count, **statics)
         return out[:, :, :5]
 
-    def core_fwd(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+    def core_fwd(m, g, op, col, dep, ry, gid, rstart, count, qem, rank, seg_s, seg_e):
         packed = _pack(m, g, op, col, dep, gid)
         out, chk = gut_blend_forward(packed, ry, rstart, count, **statics)
         return out[:, :, :5], (packed, chk, out, ry, gid, rstart, count, qem, rank,
-                               seg_s, seg_e, invo)
+                               seg_s, seg_e)
 
     def core_bwd(res, g5):
-        packed, chk, out, ry, gid, rstart, count, qem, rank, seg_s, seg_e, invo = res
+        packed, chk, out, ry, gid, rstart, count, qem, rank, seg_s, seg_e = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
         gpacked = gut_blend_backward(packed, ry, rstart, count, chk, out, gout, **statics)
         ginst = jnp.stack(
             [gpacked[:, f, :].reshape(-1) for f in range(17)], axis=1
         )  # [MAX_AL, 17]
-        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo)
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e)
         g_m = acc[:, 0:9].reshape(n, 3, 3)
         g_gro = acc[:, 9:12]
         g_op = acc[:, 12]
@@ -421,11 +425,11 @@ def gut_blend_tiles_pallas(
             return np.zeros(y.shape, dtype=jax.dtypes.float0)
 
         return (g_m, g_gro, g_op, g_col, g_dep, f0(ry), f0(gid), f0(rstart), f0(count),
-                f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(invo))
+                f0(qem), f0(rank), f0(seg_s), f0(seg_e))
 
     core.defvjp(core_fwd, core_bwd)
 
     out5 = core(isclrot, gro, opacity, color, depth,
                 jax.lax.stop_gradient(rays), aligned_gid, row_start, count_capped,
-                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, inst.inv_order)
+                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)
     return out5[:, :, 0:3], 1.0 - out5[:, :, 3], out5[:, :, 4]

@@ -28,8 +28,9 @@ import numpy as np
 from ..projection import Projected, will_contribute
 from .blend import CHUNK, NFEAT, blend_backward, blend_forward
 
-# G-table columns (per-gaussian, depth-ordered)
-G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_GID, G_OFFS = range(12)
+# G-table columns (per-gaussian, gaussian-id order)
+(G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_OFFS,
+ G_DEPTH) = range(12)
 G_COLS = 16  # padded for an efficient row gather
 
 
@@ -37,10 +38,9 @@ class SortedInstances(NamedTuple):
     sorted_tile_id: jax.Array  # [MAX_INST] int32 (sentinel n_tiles at the tail)
     sorted_gid: jax.Array  # [MAX_INST] int32
     sorted_emis: jax.Array  # [MAX_INST] int32 — emission index of each sorted instance
-    emis_rank: jax.Array  # [MAX_INST] int32 — depth-rank (segment id) per emission slot
-    emis_start: jax.Array  # [N] int32 — per-rank inclusive start in emission order
-    emis_end: jax.Array  # [N] int32 — per-rank exclusive end in emission order
-    inv_order: jax.Array  # [N] int32 — gaussian id -> depth rank
+    emis_rank: jax.Array  # [MAX_INST] int32 — gaussian id (segment id) per emission slot
+    emis_start: jax.Array  # [N] int32 — per-gaussian inclusive start in emission order
+    emis_end: jax.Array  # [N] int32 — per-gaussian exclusive end in emission order
     tile_start: jax.Array  # [T] int32
     tile_count: jax.Array  # [T] int32 (uncapped)
     total_instances: jax.Array  # [] int32 (conservative rect total)
@@ -51,22 +51,29 @@ class SortedInstances(NamedTuple):
 def build_sorted_instances(
     proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int
 ) -> SortedInstances:
-    """Depth-ordered emission + stable tile sort, gather-minimal."""
+    """Instance emission + (tile, depth) two-key sort, gather-minimal.
+
+    Emission stays in GAUSSIAN-ID order (no global depth pre-sort): per-tile front-to-back
+    order comes from depth as the second sort key instead of sort stability. This drops the
+    1M argsort, the gtab permutation gather, and — because per-gaussian gradient segments
+    are then contiguous in plain gaussian-id order — the final rank->gid permutation in
+    the backward reduction. (The reference sorts 64-bit tile|depth keys the same way,
+    fastgs/rasterization/src/forward.cu:15-199.)"""
     n = proj.depth.shape[0]
     n_tiles = grid_w * grid_h
     f32 = proj.depth.dtype
 
     proj = jax.lax.optimization_barrier(proj)
 
-    # 1. depth ordering of gaussians
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True)  # [N]
-
-    # 2. per-gaussian emission table, ONE row-gather into depth order
+    # 1. per-gaussian emission table (gaussian-id order — no permutation gather)
     rect_w = jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)
+    counts = jnp.where(proj.visible, proj.n_tiles, 0).astype(jnp.int32)
+    offs_incl = jnp.cumsum(counts)
+    offs_excl = offs_incl - counts
+    total = offs_incl[-1]
     gtab = jnp.stack(
         [
-            proj.n_tiles.astype(f32),
+            counts.astype(f32),
             proj.tile_min[:, 0].astype(f32),
             proj.tile_min[:, 1].astype(f32),
             rect_w.astype(f32),
@@ -76,22 +83,15 @@ def build_sorted_instances(
             proj.conic[:, 1],
             proj.conic[:, 2],
             proj.power_threshold,
-            jnp.arange(n, dtype=f32),  # gid (exact in f32 for n < 2^24)
+            offs_excl.astype(f32),  # exclusive emission offset: yields startpos for free
+            proj.depth,
         ],
         axis=1,
     )
     gtab = jnp.pad(gtab, ((0, 0), (0, G_COLS - gtab.shape[1])))
-    gtab = gtab[order]  # [N, 16] ONE row-gather into depth order
+    gtab = jax.lax.optimization_barrier(gtab)
 
-    counts = gtab[:, G_COUNT].astype(jnp.int32)
-    offs_incl = jnp.cumsum(counts)
-    offs_excl = offs_incl - counts
-    total = offs_incl[-1]
-    # stash each gaussian's exclusive offset as a gtab column: the instance row-gather
-    # below then yields `startpos` for free (saves a second scatter+cummax scan)
-    gtab = jax.lax.optimization_barrier(gtab.at[:, G_OFFS].set(offs_excl.astype(f32)))
-
-    # 3. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
+    # 2. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
     starts = jnp.where(counts > 0, offs_excl, max_instances)
     arange_n = jnp.arange(n, dtype=jnp.int32)
     pos = (
@@ -99,7 +99,7 @@ def build_sorted_instances(
         .at[starts]
         .max(arange_n, mode="drop")
     )
-    pos = jax.lax.cummax(pos)
+    pos = jax.lax.cummax(pos)  # [MAX_INST] gaussian id per emission slot
 
     inst_id = jnp.arange(max_instances, dtype=jnp.int32)
 
@@ -114,7 +114,7 @@ def build_sorted_instances(
     tile_x = (r[:, G_TMINX] + kx).astype(jnp.int32)
     tile_y = (r[:, G_TMINY] + ky).astype(jnp.int32)
 
-    # 4. exact per-tile contribution test (replaces the reference's exact-count prepass)
+    # 3. exact per-tile contribution test (replaces the reference's exact-count prepass)
     contrib = will_contribute(
         r[:, G_MX : G_MY + 1],  # [MAX, 2] mean2d view
         r[:, G_CA : G_CC + 1],  # [MAX, 3] conic view
@@ -123,18 +123,15 @@ def build_sorted_instances(
     valid = in_range & contrib
     tile_id = jnp.where(valid, tile_y * grid_w + tile_x, n_tiles)
 
-    # 5. stable sort by tile id with gid + emission-index payloads: emission order is
-    #    depth order, so stability gives per-tile front-to-back order; the emission index
-    #    lets the backward reduce gradients over contiguous per-gaussian segments
-    emis_f = inst_id.astype(f32)  # exact: MAX_INST < 2^24
-    sorted_tile_id, sorted_gid_f, sorted_emis_f = jax.lax.sort(
-        (tile_id, r[:, G_GID], emis_f), num_keys=1, is_stable=True
+    # 4. two-key sort (tile id, depth): per-tile front-to-back without a pre-sort;
+    # stability breaks depth ties by emission (= gaussian id) order, matching the
+    # XLA path's stable argsort tiebreak
+    depth_key = jnp.where(valid, r[:, G_DEPTH], jnp.inf)
+    sorted_tile_id, _, sorted_gid, sorted_emis = jax.lax.sort(
+        (tile_id, depth_key, pos, inst_id), num_keys=2, is_stable=True
     )
-    sorted_gid = sorted_gid_f.astype(jnp.int32)
-    sorted_emis = sorted_emis_f.astype(jnp.int32)
-    inv_order = jnp.zeros((n,), jnp.int32).at[order].set(arange_n)
 
-    # 6. per-tile ranges (few-query searchsorted is cheap; the 4M-query variant is not)
+    # 5. per-tile ranges (few-query searchsorted is cheap; the 4M-query variant is not)
     tiles = jnp.arange(n_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_tile_id, tiles, side="left").astype(jnp.int32)
     tile_start = bounds[:-1]
@@ -147,7 +144,6 @@ def build_sorted_instances(
         emis_rank=pos,
         emis_start=jnp.minimum(offs_excl, max_instances).astype(jnp.int32),
         emis_end=jnp.minimum(offs_incl, max_instances).astype(jnp.int32),
-        inv_order=inv_order,
         tile_start=tile_start,
         tile_count=tile_count,
         total_instances=total,
@@ -156,8 +152,9 @@ def build_sorted_instances(
     )
 
 
-def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int):
-    """128-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
+def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
+                   chunk: int = CHUNK):
+    """chunk-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
 
     Instance-side remap via scatter+cummax scans (a 4M-query searchsorted costs ~400 ms).
     Returns (row_start [T], count_capped [T], aligned_gid [MAX_AL], qa_emis [MAX_INST],
@@ -166,13 +163,13 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int):
     CONTIGUOUS sorted segments with a log-depth segmented scan (~7x cheaper than a 4M-row
     scatter-add, see tools/profiling/profile_scatter2.py)."""
     max_inst = inst.sorted_gid.shape[0]
-    count_capped = jnp.minimum(inst.tile_count, max_chunks * CHUNK)
-    padded = ((count_capped + CHUNK - 1) // CHUNK) * CHUNK
+    count_capped = jnp.minimum(inst.tile_count, max_chunks * chunk)
+    padded = ((count_capped + chunk - 1) // chunk) * chunk
     aligned_end = jnp.cumsum(padded)
     aligned_start = aligned_end - padded
-    row_start = (aligned_start // CHUNK).astype(jnp.int32)
-    max_aligned = max_inst + n_tiles * CHUNK  # static bound: sum(padded) <= this
-    n_rows = max_aligned // CHUNK
+    row_start = (aligned_start // chunk).astype(jnp.int32)
+    max_aligned = max_inst + n_tiles * chunk  # static bound: sum(padded) <= this
+    n_rows = max_aligned // chunk
 
     pidx = jnp.arange(max_inst, dtype=jnp.int32)
     # per-instance shift = aligned_start[t] - tile_start[t], broadcast by cummax
@@ -202,14 +199,15 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int):
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
 
-def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo):
+def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e):
     """Per-gaussian gradient totals from per-aligned-instance rows without a collision
     scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
     Hillis-Steele scan + affine associative carry propagation, segment-end gathers.
 
     ginst [MAX_AL, width]; qem [MAX_INST] emission->aligned map (sentinel MAX_AL);
-    rank [MAX_INST] segment ids; seg_s/seg_e [N] segment bounds; invo [N] gid->rank.
-    Returns [N, width]."""
+    rank [MAX_INST] segment ids (gaussian id per emission slot); seg_s/seg_e [N] segment
+    bounds. Emission order is gaussian-id order, so the segment-end gather lands directly
+    in gid order. Returns [N, width]."""
     max_aligned, width = ginst.shape
     max_inst = qem.shape[0]
     ginst_pad = jnp.concatenate([ginst, jnp.zeros((1, width), ginst.dtype)], axis=0)
@@ -250,9 +248,8 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo):
     _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
     xb = xb + jnp.where((rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0)
     x = xb.reshape(max_inst, width)
-    per_rank = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]
-    per_rank = per_rank * (seg_e > seg_s)[:, None]
-    return per_rank[invo]  # depth rank -> gaussian id
+    per_gid = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]
+    return per_gid * (seg_e > seg_s)[:, None]
 
 
 def blend_tiles_pallas(
@@ -267,6 +264,7 @@ def blend_tiles_pallas(
     grid_h: int,
     tile_size: int,
     k_max: int,
+    chunk: int = CHUNK,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-path tile blend.
 
@@ -275,15 +273,23 @@ def blend_tiles_pallas(
     n_tiles = grid_w * grid_h
     n = mean2d.shape[0]
     max_inst = inst.sorted_gid.shape[0]
-    k_max_al = ((k_max + CHUNK - 1) // CHUNK) * CHUNK
-    max_chunks = min(k_max_al // CHUNK, 128)  # checkpoint scratch is 128 lanes wide
+    k_max_al = ((k_max + chunk - 1) // chunk) * chunk
+    max_chunks = k_max_al // chunk
+    # the per-chunk transmittance checkpoint lives in a [P, max_chunks] VMEM scratch;
+    # cap its lane width (512 lanes * 1024 px * 4 B = 2 MiB) rather than silently
+    # truncating tiles past the cap (the trainer redoes any step with
+    # max_tile_count > k_max, so an assert here is a real capacity bound, not a cliff)
+    assert max_chunks <= 512, (
+        f"k_max={k_max} needs {max_chunks} chunks > 512; raise chunk or tile size"
+    )
     p = tile_size * tile_size
 
     (row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows) = align_segments(
-        inst, n_tiles, max_chunks
+        inst, n_tiles, max_chunks, chunk
     )
 
-    statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size, max_chunks=max_chunks)
+    statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size,
+                   max_chunks=max_chunks, chunk=chunk)
 
     def _pack(m2d, con, op, col, dep, gid):
         feats = jnp.stack(
@@ -298,22 +304,22 @@ def blend_tiles_pallas(
         )  # [N, 10]
         gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 10] row-gather
         packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - 10)))  # [MAX_AL, 16]
-        return packed.reshape(n_rows, CHUNK, NFEAT).transpose(0, 2, 1)  # [R, 16, 128]
+        return packed.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
 
     @jax.custom_vjp
-    def core(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+    def core(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e):
         packed = _pack(m2d, con, op, col, dep, gid)
         out, _ = blend_forward(packed, rstart, count, **statics)
         return out[:, :, :5]
 
-    def core_fwd(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, invo):
+    def core_fwd(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e):
         packed = _pack(m2d, con, op, col, dep, gid)
         out, chk = blend_forward(packed, rstart, count, **statics)
         return out[:, :, :5], (packed, chk, out, gid, rstart, count, qem, rank, seg_s,
-                               seg_e, invo)
+                               seg_e)
 
     def core_bwd(res, g5):
-        packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e, invo = res
+        packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
         gpacked = blend_backward(packed, rstart, count, chk, out, gout, **statics)
         # strided feature slices + stack instead of a minor-dim transpose of the whole
@@ -321,7 +327,7 @@ def blend_tiles_pallas(
         ginst = jnp.stack(
             [gpacked[:, f, :].reshape(-1) for f in range(10)], axis=1
         )  # [MAX_AL, 10]
-        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, invo)
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]
@@ -332,12 +338,12 @@ def blend_tiles_pallas(
             return np.zeros(y.shape, dtype=jax.dtypes.float0)
 
         return (g_m2d, g_con, g_op, g_col, g_dep, f0(gid), f0(rstart), f0(count),
-                f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(invo))
+                f0(qem), f0(rank), f0(seg_s), f0(seg_e))
 
     core.defvjp(core_fwd, core_bwd)
 
     out5 = core(mean2d, conic, opacity, color, depth, aligned_gid, row_start, count_capped,
-                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, inst.inv_order)
+                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)
     tile_colors = out5[:, :, 0:3]
     tile_alpha = 1.0 - out5[:, :, 3]
     tile_depth = out5[:, :, 4]

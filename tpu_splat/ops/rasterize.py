@@ -194,6 +194,7 @@ def rasterize(
             inst, proj.mean2d, proj.conic, proj.opacity,
             jnp.maximum(proj.color, 0.0), proj.depth,
             grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
+            chunk=chunk if chunk in (128, 256) else 128,  # kernel lane-chunk width
         )
         counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)
     else:

@@ -2,9 +2,14 @@
 
 Semantics of the reference CUDA kernel (src/training/kernels/ssim.cu:16-41, SURVEY.md §8.8):
 hardcoded 11-tap Gaussian (sigma=1.5), C1=0.01^2, C2=0.03^2, separable convolution, and
-"valid" mode crops the 5-px border from the final mean. Under jit, XLA fuses the elementwise
-chain; the two depthwise convs map onto TPU convolution units — no hand-written kernel needed
-for this op (it is bandwidth-bound and XLA already emits a fused pipeline).
+"valid" mode crops the 5-px border from the final mean.
+
+The separable blur is written as 11 shifted adds per direction rather than
+`lax.conv_general_dilated`: a 3-channel depthwise conv lowers poorly on TPU (measured ~4x
+slower fwd+bwd) and in reduced precision (its impulse response deviates from the exact
+Gaussian outer product by ~3e-3 relative; the shifted-add form matches it to f32 exactness
+— tools/profiling/profile_noise_ssim.py). XLA fuses the shifted adds into a single
+elementwise pipeline.
 """
 
 from __future__ import annotations
@@ -13,7 +18,6 @@ import functools
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 WINDOW = 11
 SIGMA = 1.5
@@ -30,15 +34,15 @@ def _gauss_kernel_np() -> np.ndarray:
 
 def _blur(img: jnp.ndarray) -> jnp.ndarray:
     """Separable 11x11 Gaussian blur, valid padding. img [B, C, H, W] -> [B, C, H-10, W-10]."""
-    c = img.shape[1]
-    g = jnp.asarray(_gauss_kernel_np(), img.dtype)
-    kh = jnp.tile(g.reshape(1, 1, WINDOW, 1), (c, 1, 1, 1))  # [C,1,11,1]
-    kw = jnp.tile(g.reshape(1, 1, 1, WINDOW), (c, 1, 1, 1))
-    dn = lax.conv_dimension_numbers(img.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    out = lax.conv_general_dilated(img, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                   feature_group_count=c)
-    out = lax.conv_general_dilated(out, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                   feature_group_count=c)
+    k = _gauss_kernel_np()
+    b, c, h, w = img.shape
+    m = WINDOW - 1
+    out_w = jnp.zeros((b, c, h, w - m), img.dtype)
+    for i, wgt in enumerate(k):
+        out_w = out_w + wgt * img[:, :, :, i : w - m + i]
+    out = jnp.zeros((b, c, h - m, w - m), img.dtype)
+    for i, wgt in enumerate(k):
+        out = out + wgt * out_w[:, :, i : h - m + i, :]
     return out
 
 

@@ -160,8 +160,9 @@ def inject_noise(state: SplatState, key, current_means_lr) -> SplatState:
     eps = jax.random.normal(key, state.means.shape, state.means.dtype)
     rot = quat_to_rotmat(state.rotation_raw)
     var = jnp.exp(2.0 * state.scaling_raw)
-    cov = (rot * var[:, None, :]) @ jnp.swapaxes(rot, -1, -2)
-    transformed = jnp.einsum("nij,nj->ni", cov, eps)
+    # cov @ eps as two matvecs R (S^2 (R^T eps)) — avoids materializing the [N,3,3]
+    # covariance (measured 10.8 -> 3.2 ms at 1M, tools/profiling/profile_noise_ssim.py)
+    transformed = jnp.einsum("nij,nj->ni", rot, var * jnp.einsum("nji,nj->ni", rot, eps))
 
     opacity = jax.nn.sigmoid(state.opacity_raw[:, 0])
     gate = 1.0 / (1.0 + jnp.exp(100.0 * opacity - 0.5))  # RelocationCUDA.cu:139

@@ -182,7 +182,7 @@ class Trainer:
         self.plan = RasterPlan(
             max_instances=max(_next_bucket(n0 * 8), 1 << 16),
             k_max=1 << 12,
-            chunk=64,
+            chunk=256 if opt.tile_size >= 32 else 128,
             tile_size=opt.tile_size,
         )
         self.evaluator = MetricsEvaluator(params.dataset.output_path or ".")
