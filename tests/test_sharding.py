@@ -1,8 +1,6 @@
-"""Multi-device sharding tests on the virtual 8-CPU mesh: the batched train step compiles
-and executes with gaussians sharded over 'gauss' and cameras over 'data', and matches the
-unsharded single-device result."""
-
-import dataclasses
+"""Multi-device sharding tests on the virtual 8-CPU mesh: the shard_map'd Pallas
+rasterizer (interpret mode on CPU) and the batched train step built over a
+("data", "gauss") mesh match the single-device path."""
 
 import jax
 import jax.numpy as jnp
@@ -10,15 +8,17 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_splat.core.splat import init_from_pointcloud
+from tpu_splat.ops.rasterize import rasterize
 from tpu_splat.parallel.mesh import make_mesh, shard_train_state
-from tpu_splat.parallel.step import batched_train_step
-from tpu_splat.training.optim import init_adam_state
-from tpu_splat.training.train_step import RasterPlan, StepConfig, init_train_state, refine_step
+from tpu_splat.parallel.raster_mc import render_batch_mc
+from tpu_splat.parallel.step import make_batched_train_step
+from tpu_splat.training.train_step import (
+    RasterPlan, StepConfig, init_train_state, refine_step, train_step)
 
 from utils import make_camera
 
 
-def _setup(batch=2, capacity=256):
+def _setup(batch=2, capacity=256, size=32):
     rng = np.random.default_rng(11)
     pts = rng.normal(0, 0.8, (100, 3)).astype(np.float32)
     pts[:, 2] += 5
@@ -26,16 +26,18 @@ def _setup(batch=2, capacity=256):
         pts, rng.random((100, 3), np.float32), np.array([0, 0, 5.0]), capacity=capacity
     )
     ts = init_train_state(splat, seed=3)
-    cam = make_camera(32, 32)
-    gts = jnp.asarray(rng.random((batch, 3, 32, 32), np.float32))
+    cam = make_camera(size, size)
+    gts = jnp.asarray(rng.random((batch, 3, size, size), np.float32))
     w2cs = jnp.tile(jnp.asarray(cam["w2c"])[None], (batch, 1, 1))
     cpos = jnp.tile(jnp.asarray(cam["cam_position"])[None], (batch, 1))
-    f = jnp.full((batch,), cam["fx"], jnp.float32)
-    c = jnp.full((batch,), 16.0, jnp.float32)
-    args = (gts, w2cs, cpos, f, f, c, c, jnp.zeros(3))
-    kwargs = dict(width=32, height=32, plan=RasterPlan(1 << 13, 256, 32),
-                  opt=StepConfig(), total_iterations=100)
-    return ts, args, kwargs
+    intr = jnp.tile(
+        jnp.asarray([cam["fx"], cam["fy"], size / 2.0, size / 2.0], jnp.float32)[None],
+        (batch, 1),
+    )
+    plan = RasterPlan(1 << 13, 256, chunk=128, tile_size=16)
+    kwargs = dict(width=size, height=size, plan=plan, opt=StepConfig(),
+                  total_iterations=100)
+    return ts, (gts, w2cs, cpos, intr, jnp.zeros(3)), kwargs, cam
 
 
 def test_mesh_shapes():
@@ -43,38 +45,92 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 2, "gauss": 4}
 
 
-def test_sharded_step_matches_single_device():
+def test_mc_render_matches_single_device():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
-    ts, args, kwargs = _setup()
+    ts, (gts, w2cs, cpos, intr, bg), kwargs, cam = _setup()
+    splat = ts.splat
+    plan = kwargs["plan"]
 
-    ts1, stats1 = batched_train_step(ts, *args, **kwargs)
-    loss1 = float(stats1.loss)
-
+    ref = rasterize(
+        splat.means, splat.scaling_raw, splat.rotation_raw, splat.opacity_raw,
+        splat.sh0, splat.shN, splat.alive,
+        w2cs[0], cpos[0], intr[0, 0], intr[0, 1], intr[0, 2], intr[0, 3],
+        2, bg, width=32, height=32,
+        max_instances=plan.max_instances, k_max=plan.k_max, chunk=128, tile_size=16,
+        backend="xla",
+    )
     mesh = make_mesh(jax.devices(), data=2)
-    ts_sharded = shard_train_state(mesh, ts)
-    data_sh = NamedSharding(mesh, P("data"))
-    gt_sh = jax.device_put(args[0], NamedSharding(mesh, P("data", None, None, None)))
-    rest = [jax.device_put(a, NamedSharding(mesh, P("data") if a.ndim >= 1 and a.shape[0] == 2 else P()))
-            for a in args[1:-1]]
-    ts2, stats2 = batched_train_step(ts_sharded, gt_sh, *rest, args[-1], **kwargs)
-    loss2 = float(stats2.loss)
-
-    assert np.isfinite(loss1) and np.isfinite(loss2)
-    assert abs(loss1 - loss2) < 1e-4, (loss1, loss2)
-    # parameters evolve identically (up to collective reduction order)
-    m1 = np.asarray(ts1.splat.means)
-    m2 = np.asarray(ts2.splat.means)
-    np.testing.assert_allclose(m1, m2, atol=1e-5, rtol=1e-4)
+    imgs, alphas, tots, mxts, _ = render_batch_mc(
+        mesh, splat.params(), splat.alive, jnp.zeros((splat.capacity, 2), jnp.float32),
+        w2cs, cpos, intr, 2, bg, width=32, height=32, plan=plan, batch=2,
+    )
+    assert imgs.shape == (2, 3, 32, 32)
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(ref.image), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(imgs[1]), np.asarray(ref.image), atol=5e-5)
+    # windowed per-chip tile counts cover the same instances
+    assert int(jnp.max(mxts)) <= plan.k_max
 
 
-def test_sharded_multi_step_with_refine():
-    ts, args, kwargs = _setup()
+def test_batched_step_matches_single_step():
+    ts, (gts, w2cs, cpos, intr, bg), kwargs, cam = _setup()
+    # reference: one single-camera step (identical cameras in the batch -> same grads)
+    ts1, stats1 = train_step(
+        ts, gts[0], w2cs[0], cpos[0],
+        intr[0, 0], intr[0, 1], intr[0, 2], intr[0, 3], bg, jnp.int32(0), **kwargs
+    )
+    # batch of two identical samples over the mesh
+    gts2 = jnp.stack([gts[0], gts[0]])
+    mesh = make_mesh(jax.devices(), data=2)
+    ts_sh = shard_train_state(mesh, ts)
+    step = make_batched_train_step(mesh)
+    dsh = NamedSharding(mesh, P("data"))
+    ts2, stats2 = step(
+        ts_sh, jax.device_put(gts2, NamedSharding(mesh, P("data", None, None, None))),
+        jax.device_put(w2cs, dsh), jax.device_put(cpos, dsh), jax.device_put(intr, dsh),
+        bg, **kwargs,
+    )
+    l1, l2 = float(stats1.loss), float(stats2.loss)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert abs(l1 - l2) < 1e-4, (l1, l2)
+    np.testing.assert_allclose(
+        np.asarray(ts1.splat.means), np.asarray(ts2.splat.means), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_batched_multi_step_with_refine():
+    ts, args, kwargs, _ = _setup()
     mesh = make_mesh(jax.devices(), data=2)
     ts = shard_train_state(mesh, ts)
-    for i in range(3):
-        ts, stats = batched_train_step(ts, *args, **kwargs)
+    step = make_batched_train_step(mesh)
+    for _ in range(3):
+        ts, stats = step(ts, *args, **kwargs)
         assert np.isfinite(float(stats.loss))
     ts, info = refine_step(ts, min_opacity=0.005, max_cap=200)
     assert int(info["n_alive"]) >= 100
-    ts, stats = batched_train_step(ts, *args, **kwargs)
+    ts, stats = step(ts, *args, **kwargs)
     assert np.isfinite(float(stats.loss))
+
+
+def test_trainer_batched_product_path(tmp_path):
+    """The --batch-size product surface: Trainer builds the mesh, shards state, and
+    trains through the shard_map'd Pallas rasterizer."""
+    from synth_data import make_synthetic_colmap
+    from tpu_splat.core.config import (
+        DatasetConfig, OptimizationParameters, TrainingParameters)
+    from tpu_splat.training.trainer import Trainer
+
+    base = tmp_path / "ds"
+    make_synthetic_colmap(base, n_gauss=60, n_cams=4, size=32, seed=2)
+    opt = OptimizationParameters(
+        iterations=4, batch_size=2, max_cap=256, sh_degree=1,
+        eval_steps=[], save_steps=[], stop_refine=2, lambda_dssim=0.0,
+    )
+    params = TrainingParameters(
+        dataset=DatasetConfig(data_path=str(base), output_path=str(tmp_path / "out"),
+                              test_every=100),
+        optimization=opt,
+    )
+    tr = Trainer(params)
+    assert tr.mesh is not None and tr.mesh.shape == {"data": 2, "gauss": 4}
+    tr.train(progress_every=1000)
+    assert (tmp_path / "out" / "splat_final.ply").exists()

@@ -1,0 +1,122 @@
+"""Hardware lane (`TPU_SPLAT_TEST_TPU=1 pytest tests -m tpu`): the Pallas kernels
+against the XLA oracle on the real chip, plus the shard_map product path single-chip.
+
+These are the automated versions of tools/pallas_parity_check.py and
+tools/gut_parity_check.py (VERDICT round 1: the flagship kernels had no automated
+coverage — the CPU suite can only exercise them in interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _scene(n=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    z = rng.uniform(2, 10, n).astype(np.float32)
+    x = rng.uniform(-0.5, 0.5, n).astype(np.float32) * z
+    y = rng.uniform(-0.4, 0.4, n).astype(np.float32) * z
+    sig = rng.uniform(1, 5, n).astype(np.float32) * z / 100.0
+    q = rng.normal(0, 1, (n, 4)).astype(np.float32)
+    q[:, 0] += 2
+    return dict(
+        means=jnp.asarray(np.stack([x, y, z], 1)),
+        scaling_raw=jnp.asarray(np.log(np.stack([sig, sig * 0.7, sig], 1))),
+        rotation_raw=jnp.asarray(q),
+        opacity_raw=jnp.asarray(rng.normal(0.5, 1.5, (n, 1)).astype(np.float32)),
+        sh0=jnp.asarray(rng.normal(0, 0.6, (n, 1, 3)).astype(np.float32)),
+        shN=jnp.asarray(rng.normal(0, 0.05, (n, 15, 3)).astype(np.float32)),
+        alive=jnp.ones((n,), bool),
+    )
+
+
+@pytest.mark.parametrize("chunk,tile", [(128, 16), (256, 32)])
+def test_pallas_blend_parity(chunk, tile):
+    from tpu_splat.ops.rasterize import rasterize
+
+    s = _scene()
+    W, H = 128, 96
+    f = 0.9 * W
+    kw = dict(width=W, height=H, max_instances=1 << 15, k_max=1024, chunk=chunk,
+              tile_size=tile)
+    args = (s["means"], s["scaling_raw"], s["rotation_raw"], s["opacity_raw"],
+            s["sh0"], s["shN"], s["alive"], jnp.eye(4), jnp.zeros(3),
+            f, f, W / 2, H / 2, 3, jnp.asarray([0.1, 0.2, 0.3]))
+
+    def run(backend):
+        def loss_fn(m, sc, r, o):
+            out = rasterize(m, sc, r, o, *args[4:], backend=backend, **kw)
+            tgt = jnp.linspace(0, 1, W)[None, None, :]
+            return jnp.sum((out.image - tgt) ** 2) * 1e-3, out
+        (l, out), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            *args[:4])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas")
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 1e-2
+    assert float(jnp.max(jnp.abs(out_x.alpha - out_p.alpha))) < 1e-3
+    for gx, gp in zip(g_x, g_p):
+        scale = float(jnp.max(jnp.abs(gx))) + 1e-12
+        assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
+
+
+def test_gut_pallas_parity():
+    from tpu_splat.ops.cameras import CameraParams
+    from tpu_splat.ops.gut import rasterize_gut
+
+    s = _scene(n=1000, seed=3)
+    W, H = 96, 64
+    f = 0.9 * W
+    params = CameraParams(radial=(0.05, -0.01, 0, 0, 0, 0))
+    kw = dict(width=W, height=H, max_instances=1 << 13, k_max=512, chunk=16,
+              cam_params=params)
+    args = (s["means"], s["scaling_raw"], s["rotation_raw"], s["opacity_raw"],
+            s["sh0"], s["shN"], s["alive"], jnp.eye(4), jnp.zeros(3),
+            f, f, W / 2, H / 2, 3, jnp.asarray([0.1, 0.2, 0.3]))
+
+    def run(backend):
+        def loss_fn(m):
+            out = rasterize_gut(m, *args[1:], backend=backend, **kw)
+            return jnp.sum(out.image ** 2) * 1e-3, out
+        (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(args[0])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas")
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 2e-2
+    scale = float(jnp.max(jnp.abs(g_x))) + 1e-12
+    assert float(jnp.max(jnp.abs(g_x - g_p))) / scale < 2e-2
+
+
+def test_shard_map_single_chip():
+    """The multi-chip product path on a 1-chip mesh: Pallas under shard_map on TPU."""
+    from tpu_splat.ops.rasterize import rasterize
+    from tpu_splat.parallel.mesh import make_mesh
+    from tpu_splat.parallel.raster_mc import render_batch_mc
+    from tpu_splat.training.train_step import RasterPlan
+
+    s = _scene(n=800, seed=1)
+    W = H = 64
+    f = 55.0
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    plan = RasterPlan(1 << 13, 512, chunk=128, tile_size=16)
+    ref = rasterize(
+        s["means"], s["scaling_raw"], s["rotation_raw"], s["opacity_raw"],
+        s["sh0"], s["shN"], s["alive"], jnp.eye(4), jnp.zeros(3),
+        f, f, W / 2, H / 2, 2, bg, width=W, height=H,
+        max_instances=plan.max_instances, k_max=plan.k_max, chunk=128, tile_size=16,
+        backend="pallas",
+    )
+    mesh = make_mesh(jax.devices()[:1], data=1)
+    params = {k: s[k] for k in
+              ("means", "scaling_raw", "rotation_raw", "opacity_raw", "sh0", "shN")}
+    imgs, *_ = render_batch_mc(
+        mesh, params, s["alive"], jnp.zeros((800, 2), jnp.float32),
+        jnp.eye(4)[None], jnp.zeros((1, 3)),
+        jnp.asarray([[f, f, W / 2, H / 2]], jnp.float32), 2, bg,
+        width=W, height=H, plan=plan, batch=1,
+    )
+    np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(ref.image), atol=1e-4)

@@ -101,7 +101,7 @@ gp0 = jax.device_put(blend_backward(packed0, row_start, count_capped, chk0, out0
 def segred(gp):
     ginst = jnp.stack([gp[:, f, :].reshape(-1) for f in range(10)], axis=1)
     return jnp.sum(jnp.square(segmented_grad_reduce(
-        ginst, qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, inst.inv_order)))
+        ginst, qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)))
 
 
 chain("unpack+segmented_grad_reduce", lambda x, gp: segred(gp + x), jnp.float32(0), gp0)

@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-cap", type=int, dest="max_cap")
     p.add_argument("--min-opacity", type=float, dest="min_opacity")
     p.add_argument("--num-workers", type=int, dest="num_workers")
+    # multi-chip (TPU-native; the reference is single-GPU)
+    p.add_argument("--batch-size", type=int, dest="batch_size",
+                   help="cameras per optimizer step, sharded over the mesh 'data' axis")
+    p.add_argument("--mesh-data", type=int, dest="mesh_data",
+                   help="mesh 'data' axis size (default: batch size)")
+    p.add_argument("--mesh-gauss", type=int, dest="mesh_gauss",
+                   help="mesh 'gauss' axis size (default: n_devices / data)")
     p.add_argument("--steps-scaler", type=float, dest="steps_scaler")
     p.add_argument("--strategy", choices=["mcmc", "default"])
     # features

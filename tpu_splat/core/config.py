@@ -97,6 +97,13 @@ class OptimizationParameters:
     tile_size: int = 32
     instance_budget: int = 0  # 0 = auto (pow2-bucketed from live counts)
     packed_backward: bool = True
+    # Multi-chip training (no reference counterpart — the reference is single-GPU,
+    # trainer.cpp:253). batch_size cameras render per optimizer step, sharded over the
+    # mesh "data" axis; gaussians shard over "gauss". 0 = auto (data = batch_size,
+    # gauss = n_devices / data). Requires multiple JAX devices.
+    batch_size: int = 1
+    mesh_data: int = 0
+    mesh_gauss: int = 0
 
     def apply_steps_scaler(self) -> "OptimizationParameters":
         """steps_scaler (>0) multiplies schedule lengths (argument_parser.cpp:422-439)."""

@@ -103,10 +103,13 @@ def _lane_exclusive_cumsum_f32(x, u_strict):
     return _mm(x, u_strict, precision=jax.lax.Precision.HIGHEST)
 
 
-def _pixel_coords(t, grid_w: int, tile_size: int, p: int):
-    """Pixel-center coordinates of tile t as [P, 1] f32 (row-major pixels in tile)."""
+def _pixel_coords(t, grid_w: int, tile_size: int, p: int, tile_y0=0):
+    """Pixel-center coordinates of tile t as [P, 1] f32 (row-major pixels in tile).
+
+    `tile_y0` offsets the tile row — under the multi-chip tile-row sharding each chip
+    rasterizes a window of global tile rows with local tile ids."""
     tile_x = t % grid_w
-    tile_y = t // grid_w
+    tile_y = t // grid_w + tile_y0
     idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (tile_x * tile_size + idx % tile_size).astype(jnp.float32) + 0.5
     py = (tile_y * tile_size + idx // tile_size).astype(jnp.float32) + 0.5
@@ -176,6 +179,7 @@ def _lane_iota_row(chunk: int):
 
 def _fwd_kernel(
     row_start_ref, count_ref,  # scalar prefetch [T] int32 (chunk-row offset, capped count)
+    y0_ref,  # scalar prefetch [1] int32 (tile-row offset for multi-chip windows)
     packed_ref,  # [R, 16, 128] ANY (HBM): one [16, 128] feature block per chunk
     out_ref,  # [1, P, 8] VMEM: cols 0-2 rgb, 3 final transmittance
     chk_ref,  # [1, P, MAXC] VMEM: per-chunk entry transmittance (0 where dead)
@@ -190,7 +194,7 @@ def _fwd_kernel(
     count = count_ref[t]
     nch = (count + chunk - 1) // chunk
     p = tile_size * tile_size
-    px, py = _pixel_coords(t, grid_w, tile_size, p)
+    px, py = _pixel_coords(t, grid_w, tile_size, p, y0_ref[0])
     maxc = chk_ref.shape[2]
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
@@ -253,7 +257,7 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk", "interpret")
 )
 def blend_forward(
     packed: jax.Array,  # [R, 16, chunk]
@@ -265,11 +269,15 @@ def blend_forward(
     tile_size: int,
     max_chunks: int,
     chunk: int = CHUNK,
+    interpret: bool = False,
+    tile_y0=None,  # traced [] int32 tile-row offset (multi-chip windows); None = 0
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
+    y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
+          else jnp.asarray(tile_y0, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(
@@ -294,7 +302,8 @@ def blend_forward(
         # [P, chunk] intermediates at tile_size 32 / chunk 256 exceed the default
         # 16 MiB scoped-vmem budget; v5e has far more physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(row_start, tile_count, packed)
+        interpret=interpret,
+    )(row_start, tile_count, y0, packed)
     return out, chk
 
 
@@ -302,7 +311,7 @@ def blend_forward(
 
 
 def _bwd_kernel(
-    row_start_ref, count_ref,
+    row_start_ref, count_ref, y0_ref,
     packed_ref,  # [R, 16, 128] ANY
     chk_ref,  # [1, P, MAXC] VMEM
     out_ref,  # [1, P, 8] VMEM (forward outputs; col 3 = T_final)
@@ -320,8 +329,16 @@ def _bwd_kernel(
     row0 = row_start_ref[t]
     count = count_ref[t]
     nch = (count + chunk - 1) // chunk
+    # chunks past the forward's transmittance stop have all-zero checkpoints and zero
+    # gradients (covered by the aliased zero-init) — replay only up to the last live
+    # chunk (the forward early-exits; without this the backward walks every chunk)
+    maxc_i = chk_ref.shape[2]
+    live_cols = jnp.max(chk_ref[0], axis=0, keepdims=True)  # [1, maxc]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, maxc_i), 1)
+    last_live = jnp.max(jnp.where(live_cols > 0.0, col_ids, -1))
+    nch = jnp.minimum(nch, last_live + 1)
     p = tile_size * tile_size
-    px, py = _pixel_coords(t, grid_w, tile_size, p)
+    px, py = _pixel_coords(t, grid_w, tile_size, p, y0_ref[0])
     lane = _lane_iota_row(chunk)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
     u_strict = _strict_upper(chunk)
@@ -452,7 +469,7 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk", "interpret")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk]
@@ -467,13 +484,17 @@ def blend_backward(
     tile_size: int,
     max_chunks: int,
     chunk: int = CHUNK,
+    interpret: bool = False,
+    tile_y0=None,
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk]; rows never touched by any tile stay zero
     (zero-init via input-output aliasing)."""
     p = tile_size * tile_size
+    y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
+          else jnp.asarray(tile_y0, jnp.int32).reshape(1))
     gzero = jnp.zeros(packed.shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -494,9 +515,10 @@ def blend_backward(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
-        input_output_aliases={6: 0},  # gzero -> output (indices include scalar-prefetch args)
+        input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(row_start, tile_count, packed, chk, out, gout, gzero)
+        interpret=interpret,
+    )(row_start, tile_count, y0, packed, chk, out, gout, gzero)
     return gpacked

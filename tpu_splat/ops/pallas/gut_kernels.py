@@ -203,6 +203,13 @@ def _gut_bwd_kernel(
     row0 = row_start_ref[t]
     count = count_ref[t]
     nch = (count + CHUNK - 1) // CHUNK
+    # replay only up to the last live chunk (see blend.py _bwd_kernel): dead-tail
+    # chunks have zero checkpoints and zero grads via the aliased zero-init
+    maxc_i = chk_ref.shape[2]
+    live_cols = jnp.max(chk_ref[0], axis=0, keepdims=True)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, maxc_i), 1)
+    last_live = jnp.max(jnp.where(live_cols > 0.0, col_ids, -1))
+    nch = jnp.minimum(nch, last_live + 1)
     p = tile_size * tile_size
     lane = _lane_iota_row(CHUNK)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)

@@ -49,7 +49,8 @@ class SortedInstances(NamedTuple):
 
 
 def build_sorted_instances(
-    proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int
+    proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int,
+    tile_y0=0,
 ) -> SortedInstances:
     """Instance emission + (tile, depth) two-key sort, gather-minimal.
 
@@ -114,11 +115,12 @@ def build_sorted_instances(
     tile_x = (r[:, G_TMINX] + kx).astype(jnp.int32)
     tile_y = (r[:, G_TMINY] + ky).astype(jnp.int32)
 
-    # 3. exact per-tile contribution test (replaces the reference's exact-count prepass)
+    # 3. exact per-tile contribution test (replaces the reference's exact-count prepass);
+    # tile_y is window-local under multi-chip tile-row sharding — shift to global pixels
     contrib = will_contribute(
         r[:, G_MX : G_MY + 1],  # [MAX, 2] mean2d view
         r[:, G_CA : G_CC + 1],  # [MAX, 3] conic view
-        tile_x, tile_y, r[:, G_PTH], tile_size,
+        tile_x, tile_y + tile_y0, r[:, G_PTH], tile_size,
     )
     valid = in_range & contrib
     tile_id = jnp.where(valid, tile_y * grid_w + tile_x, n_tiles)
@@ -265,6 +267,8 @@ def blend_tiles_pallas(
     tile_size: int,
     k_max: int,
     chunk: int = CHUNK,
+    interpret: bool = False,
+    tile_y0=None,  # traced [] int32 global tile-row offset (multi-chip windows)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-path tile blend.
 
@@ -289,7 +293,9 @@ def blend_tiles_pallas(
     )
 
     statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size,
-                   max_chunks=max_chunks, chunk=chunk)
+                   max_chunks=max_chunks, chunk=chunk, interpret=interpret)
+    y0_arr = (jnp.zeros((), jnp.int32) if tile_y0 is None
+              else jnp.asarray(tile_y0, jnp.int32))
 
     def _pack(m2d, con, op, col, dep, gid):
         feats = jnp.stack(
@@ -307,21 +313,22 @@ def blend_tiles_pallas(
         return packed.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
 
     @jax.custom_vjp
-    def core(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e):
+    def core(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, y0):
         packed = _pack(m2d, con, op, col, dep, gid)
-        out, _ = blend_forward(packed, rstart, count, **statics)
+        out, _ = blend_forward(packed, rstart, count, tile_y0=y0, **statics)
         return out[:, :, :5]
 
-    def core_fwd(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e):
+    def core_fwd(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, y0):
         packed = _pack(m2d, con, op, col, dep, gid)
-        out, chk = blend_forward(packed, rstart, count, **statics)
+        out, chk = blend_forward(packed, rstart, count, tile_y0=y0, **statics)
         return out[:, :, :5], (packed, chk, out, gid, rstart, count, qem, rank, seg_s,
-                               seg_e)
+                               seg_e, y0)
 
     def core_bwd(res, g5):
-        packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e = res
+        packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e, y0 = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
-        gpacked = blend_backward(packed, rstart, count, chk, out, gout, **statics)
+        gpacked = blend_backward(packed, rstart, count, chk, out, gout, tile_y0=y0,
+                                 **statics)
         # strided feature slices + stack instead of a minor-dim transpose of the whole
         # [R, 16, 128] block (XLA's minor transpose of that shape measured ~330 ms)
         ginst = jnp.stack(
@@ -338,12 +345,12 @@ def blend_tiles_pallas(
             return np.zeros(y.shape, dtype=jax.dtypes.float0)
 
         return (g_m2d, g_con, g_op, g_col, g_dep, f0(gid), f0(rstart), f0(count),
-                f0(qem), f0(rank), f0(seg_s), f0(seg_e))
+                f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(y0))
 
     core.defvjp(core_fwd, core_bwd)
 
     out5 = core(mean2d, conic, opacity, color, depth, aligned_gid, row_start, count_capped,
-                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)
+                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, y0_arr)
     tile_colors = out5[:, :, 0:3]
     tile_alpha = 1.0 - out5[:, :, 3]
     tile_depth = out5[:, :, 4]

@@ -185,6 +185,35 @@ class Trainer:
             chunk=256 if opt.tile_size >= 32 else 128,
             tile_size=opt.tile_size,
         )
+
+        # multi-chip training (cameras over "data", gaussians + tile rows over "gauss";
+        # NEW vs the single-GPU reference, trainer.cpp:253)
+        self.mesh = None
+        self._batched_step = None
+        self.batch_size = max(1, opt.batch_size)
+        if self.batch_size > 1 or opt.mesh_gauss > 1 or opt.mesh_data > 1:
+            from ..parallel.mesh import make_mesh, shard_train_state
+            from ..parallel.step import make_batched_train_step
+
+            n_dev = len(jax.devices())
+            data_ax = opt.mesh_data or min(self.batch_size, n_dev)
+            while n_dev % data_ax:
+                data_ax -= 1
+            if opt.mesh_gauss and data_ax * opt.mesh_gauss <= n_dev:
+                n_dev = data_ax * opt.mesh_gauss
+            if self.batch_size % data_ax:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by mesh data={data_ax}"
+                )
+            for feat in ("use_bilateral_grid",):
+                if getattr(opt, feat, False):
+                    raise ValueError(f"{feat} is not supported with batch training yet")
+            if opt.pose_optimization != "none" or opt.gut:
+                raise ValueError("pose-opt/GUT are not supported with batch training yet")
+            self.mesh = make_mesh(jax.devices()[:n_dev], data=data_ax)
+            self.state = shard_train_state(self.mesh, self.state)
+            self._batched_step = make_batched_train_step(self.mesh)
+            log.info("multi-chip mesh: %s (batch %d)", dict(self.mesh.shape), self.batch_size)
         self.evaluator = MetricsEvaluator(params.dataset.output_path or ".")
         self._bg_rng = np.random.default_rng(1234)
         self._loss_hist: list[float] = []
@@ -251,6 +280,37 @@ class Trainer:
             jnp.int32(sample.index),
             width=cam.image_width, height=cam.image_height,
             plan=self.plan, opt=self.step_cfg,
+            total_iterations=self.opt.iterations,
+        )
+        return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
+
+    def _dispatch_batched(self, samples, iteration: int) -> PendingStep:
+        """One optimizer step over `batch_size` cameras on the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        prev = self.state
+        cams = [s.camera for s in samples]
+        w, h = cams[0].image_width, cams[0].image_height
+        if any(c.image_width != w or c.image_height != h for c in cams):
+            raise ValueError("batched training requires uniform image sizes")
+        dsh4 = NamedSharding(self.mesh, P("data", None, None, None))
+        dsh = NamedSharding(self.mesh, P("data"))
+        gts = jax.device_put(
+            jnp.stack([jnp.asarray(s.image) for s in samples]), dsh4
+        )
+        w2cs = jax.device_put(
+            jnp.stack([jnp.asarray(c.world_view_transform) for c in cams]), dsh
+        )
+        cpos = jax.device_put(
+            jnp.stack([jnp.asarray(c.cam_position) for c in cams]), dsh
+        )
+        intr = jax.device_put(
+            jnp.asarray([[s.fx, s.fy, s.cx, s.cy] for s in samples], jnp.float32), dsh
+        )
+        self.state, stats = self._batched_step(
+            self.state, gts, w2cs, cpos, intr,
+            jnp.asarray(self.background_for_step(iteration)),
+            width=w, height=h, plan=self.plan, opt=self.step_cfg,
             total_iterations=self.opt.iterations,
         )
         return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
@@ -374,8 +434,12 @@ class Trainer:
         total = self.total_iterations
         try:
             while it <= total:
-                sample = next(loader)
-                pending.append(self._dispatch_step(sample, it))
+                if self.mesh is not None:
+                    samples = [next(loader) for _ in range(self.batch_size)]
+                    pending.append(self._dispatch_batched(samples, it))
+                else:
+                    sample = next(loader)
+                    pending.append(self._dispatch_step(sample, it))
 
                 # keep 2 steps in flight; drain opportunistically
                 if len(pending) >= 2:
