@@ -68,7 +68,8 @@ def write_colmap_binary(base: Path, cams: list[dict], points: np.ndarray, colors
 
 
 def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0,
-                          camera_model="PINHOLE", distortion=()):
+                          camera_model="PINHOLE", distortion=(), focal_scales=None,
+                          sfm_fraction=0.5):
     """Render a random gaussian cloud with the oracle from a ring of cameras."""
     import jax.numpy as jnp
 
@@ -82,8 +83,10 @@ def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0,
 
     cams = []
     (base / "images").mkdir(parents=True, exist_ok=True)
-    f = 0.7 * size
+    f_base = 0.7 * size
     for i in range(n_cams):
+        # focal_scales: per-camera focal multipliers -> a multi-physical-camera rig
+        f = f_base * (focal_scales[i % len(focal_scales)] if focal_scales else 1.0)
         ang = 2 * np.pi * i / n_cams
         eye = center + np.array([2.5 * np.sin(ang), 0.4, 2.5 * np.cos(ang) - 0.0])
         r, t = look_at_w2c(eye, center)
@@ -104,7 +107,7 @@ def make_synthetic_colmap(base: Path, n_gauss=120, n_cams=6, size=48, seed=0,
                          width=size, height=size, name=name))
 
     # SfM points: subsample of gaussian centers with oracle colors
-    idx = rng.permutation(n_gauss)[: n_gauss // 2]
+    idx = rng.permutation(n_gauss)[: max(1, int(n_gauss * sfm_fraction))]
     pts = scene["means"][idx]
     cols = np.clip(0.5 + 0.2820948 * scene["sh0"][idx, 0], 0, 1)
     write_colmap_binary(base, cams, pts, cols, camera_model=camera_model,

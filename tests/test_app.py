@@ -106,3 +106,55 @@ def test_config_json_roundtrip(tmp_path):
     assert params.optimization.iterations == 777
     assert params.optimization.strategy == "default"
     assert params.optimization.max_cap == 123  # CLI overrides config
+
+
+def test_live_training_viewer(tmp_path):
+    """Training-attached web viewer: /status, /frame, and /control drive a running
+    Trainer (reference: visualizer training attach, training_manager.cpp:121,343)."""
+    import json as _json
+    import threading
+    import time
+    import urllib.request
+
+    from synth_data import make_synthetic_colmap
+    from tpu_splat.core.config import (
+        DatasetConfig, OptimizationParameters, TrainingParameters)
+    from tpu_splat.training.trainer import Trainer
+    from tpu_splat.viewer import attach
+
+    base = tmp_path / "ds"
+    make_synthetic_colmap(base, n_gauss=50, n_cams=3, size=32, seed=5)
+    opt = OptimizationParameters(
+        iterations=4000, max_cap=128, sh_degree=1, eval_steps=[], save_steps=[],
+        stop_refine=2, lambda_dssim=0.0,
+    )
+    params = TrainingParameters(
+        dataset=DatasetConfig(data_path=str(base), output_path=str(tmp_path / "out"),
+                              test_every=100),
+        optimization=opt,
+    )
+    trainer = Trainer(params)
+    server = attach(trainer, port=18973, width=64, height=48)
+    t = threading.Thread(target=trainer.train, kwargs=dict(progress_every=5), daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 120
+        status = None
+        while time.time() < deadline:
+            try:
+                status = _json.loads(urllib.request.urlopen(
+                    "http://127.0.0.1:18973/status", timeout=5).read())
+                if status["iteration"] >= 2:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert status is not None and status["iteration"] >= 2, status
+        jpg = urllib.request.urlopen(
+            "http://127.0.0.1:18973/frame?theta=0.3&phi=-0.2&radius=1", timeout=60).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+        urllib.request.urlopen("http://127.0.0.1:18973/control?action=stop", timeout=5)
+        t.join(timeout=120)
+        assert not t.is_alive(), "trainer did not stop on viewer control"
+    finally:
+        server.shutdown()

@@ -245,3 +245,52 @@ def test_rolling_shutter_interpolates_between_poses():
     assert rowdiff(img_roll, img_end, bot) < rowdiff(img_roll, img_start, bot)
     # and the rolling render differs from both globally
     assert float(np.mean(np.abs(img_roll - img_start))) > 1e-4
+
+
+def test_per_camera_distortion_traced():
+    """`dist` makes distortion per-sample: same jitted variant renders two different
+    radial profiles, each matching the statically-baked render of that profile
+    (VERDICT r1: camera-0 coeffs were baked statically, mis-rendering mixed rigs)."""
+    scene = make_scene(80, seed=9)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    W = H = 48
+    F = 0.8 * W
+    args = (splat["means"], splat["scaling_raw"], splat["rotation_raw"],
+            splat["opacity_raw"], splat["sh0"], splat["shN"], splat["alive"],
+            jnp.eye(4), jnp.zeros(3), F, F, W / 2, H / 2, 2, jnp.zeros(3))
+    kw = dict(width=W, height=H, max_instances=1 << 12, k_max=256, chunk=16)
+
+    cp_a = CameraParams(radial=(0.08, -0.02, 0, 0, 0, 0))
+    cp_b = CameraParams(radial=(-0.06, 0.01, 0, 0, 0, 0), tangential=(0.002, -0.001))
+    base = CameraParams()  # zero coeffs: the static part of the per-sample variant
+
+    img_a_static = rasterize_gut(*args, cam_params=cp_a, **kw).image
+    img_b_static = rasterize_gut(*args, cam_params=cp_b, **kw).image
+    da = jnp.asarray(np.concatenate([cp_a.radial, cp_a.tangential, cp_a.thin_prism]))
+    db = jnp.asarray(np.concatenate([cp_b.radial, cp_b.tangential, cp_b.thin_prism]))
+    img_a = rasterize_gut(*args, cam_params=base, dist=da, **kw).image
+    img_b = rasterize_gut(*args, cam_params=base, dist=db, **kw).image
+
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_a_static), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_b_static), atol=1e-5)
+    assert float(jnp.max(jnp.abs(img_a - img_b))) > 1e-3  # profiles actually differ
+
+
+def test_ortho_camera_model():
+    """ORTHO model (gsplat/Common.h:46-50): parallel rays, no z division; splats keep
+    their world size regardless of depth."""
+    scene = make_scene(60, seed=12)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    W = H = 48
+    args = (splat["means"], splat["scaling_raw"], splat["rotation_raw"],
+            splat["opacity_raw"], splat["sh0"], splat["shN"], splat["alive"],
+            jnp.eye(4), jnp.zeros(3), 8.0, 8.0, W / 2, H / 2, 0, jnp.zeros(3))
+    kw = dict(width=W, height=H, max_instances=1 << 12, k_max=256, chunk=16)
+    out = rasterize_gut(*args, cam_params=CameraParams(model="ortho"), **kw)
+    img = np.asarray(out.image)
+    assert np.isfinite(img).all() and img.max() > 0.01
+    # orthographic invariance: translating the scene along +z leaves the image unchanged
+    shifted = dict(splat, means=splat["means"] + jnp.asarray([0.0, 0.0, 2.0]))
+    args2 = (shifted["means"],) + args[1:]
+    out2 = rasterize_gut(*args2, cam_params=CameraParams(model="ortho"), **kw)
+    np.testing.assert_allclose(np.asarray(out2.image), img, atol=1e-4)

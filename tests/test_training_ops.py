@@ -138,3 +138,58 @@ def test_relocation_matches_reference_double_loop():
         coeff = opacity[idx] / denom
         np.testing.assert_allclose(float(new_op[idx]), want_op, rtol=2e-3)  # f32, same as ref kernel
         np.testing.assert_allclose(np.asarray(new_scale[idx]), coeff * scale[idx], rtol=5e-3)
+
+
+def test_lpips_architecture_forward():
+    """LPIPS-VGG forward matches a hand-rolled numpy oracle on tiny synthetic weights
+    (so the metric is trustworthy once real weights are fetched —
+    tools/fetch_lpips_weights.py; offline builds report None like the reference
+    without weights/lpips_vgg.pt)."""
+    import numpy as np
+    from tpu_splat.training import lpips as L
+
+    rng = np.random.default_rng(0)
+    params = {}
+    cin = 3
+    li = 0
+    for ch, n_convs in L.VGG_BLOCKS:
+        for _ in range(n_convs):
+            params[f"conv{li}_w"] = jnp.asarray(
+                rng.normal(0, 0.1, (ch, cin, 3, 3)).astype(np.float32))
+            params[f"conv{li}_b"] = jnp.asarray(
+                rng.normal(0, 0.01, (ch,)).astype(np.float32))
+            cin = ch
+            li += 1
+    for i, (ch, _) in enumerate(L.VGG_BLOCKS):
+        params[f"lin{i}_w"] = jnp.asarray(
+            rng.uniform(0, 0.1, (1, ch, 1, 1)).astype(np.float32))
+
+    a = jnp.asarray(rng.random((1, 3, 32, 32), np.float32))
+    b = jnp.asarray(rng.random((1, 3, 32, 32), np.float32))
+    val = float(L._lpips_fn(params, a, b))
+    assert np.isfinite(val) and val > 0
+    assert float(L._lpips_fn(params, a, a)) < 1e-8  # identical images -> 0
+
+    # numpy oracle for the first tap: conv(3x3 same) + relu + unit-norm + sq-diff + lin
+    import scipy.signal as sp  # noqa: F401  (absent: fall back to manual conv)
+    def conv_np(x, w, bias):
+        n, c, h, ww = x.shape
+        o = w.shape[0]
+        xp = np.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        out = np.zeros((n, o, h, ww), np.float32)
+        for oc in range(o):
+            acc = np.zeros((n, h, ww), np.float32)
+            for ic in range(c):
+                for dy in range(3):
+                    for dx in range(3):
+                        acc += w[oc, ic, dy, dx] * xp[:, ic, dy:dy + h, dx:dx + ww]
+            out[:, oc] = acc + bias[oc]
+        return out
+
+    shift = L.SHIFT.reshape(1, 3, 1, 1)
+    scale = L.SCALE.reshape(1, 3, 1, 1)
+    xa = (2 * np.asarray(a) - 1 - shift) / scale
+    h = np.maximum(conv_np(xa, np.asarray(params["conv0_w"]), np.asarray(params["conv0_b"])), 0)
+    fa = np.asarray(L.vgg_features(params, jnp.asarray(xa))[0])
+    h2 = np.maximum(conv_np(h, np.asarray(params["conv1_w"]), np.asarray(params["conv1_b"])), 0)
+    np.testing.assert_allclose(fa, h2, atol=1e-3)

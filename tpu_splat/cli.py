@@ -101,6 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--view-frames", type=int, default=60)
     p.add_argument("--view-width", type=int, default=1280)
     p.add_argument("--view-height", type=int, default=720)
+    # live training viewer (reference: GUI attach, application.cpp; here a web view)
+    p.add_argument("--port", type=int, default=8080, help="live viewer port (non-headless)")
     return p
 
 
@@ -201,6 +203,12 @@ def run_headless(args: argparse.Namespace) -> int:
             log.info("resumed from %s at iteration %d", args.resume, int(trainer.state.iteration))
         trainer.checkpoint_every = args.checkpoint_every
         trainer.project = project
+        if not args.headless:
+            # training under a live web viewer (the reference's GUI-attached training,
+            # src/visualizer/training_manager.cpp:121,343); controls ride the event bus
+            from .viewer import attach
+
+            attach(trainer, port=args.port)
         trainer.train()
         final = out_dir / "splat_final.ply"
         if final.exists():

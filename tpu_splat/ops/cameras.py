@@ -39,11 +39,44 @@ class CameraParams:
     def from_camera(cls, cam) -> "CameraParams":
         rad = tuple(float(v) for v in np.asarray(cam.radial_distortion).reshape(-1))
         tan = tuple(float(v) for v in np.asarray(cam.tangential_distortion).reshape(-1))
-        model = "fisheye" if cam.camera_model_type.name == "FISHEYE" else "pinhole"
+        name = cam.camera_model_type.name
+        model = {"FISHEYE": "fisheye", "ORTHO": "ortho"}.get(name, "pinhole")
         rad = (rad + (0.0,) * 6)[:6] if model == "pinhole" else (rad + (0.0,) * 4)[:4]
         tan = (tan + (0.0, 0.0))[:2]
         return cls(model=model, radial=rad if model == "pinhole" else rad + (0.0, 0.0),
                    tangential=tan)
+
+    def coeff_vector(self) -> np.ndarray:
+        """The 12 distortion coefficients as one array (radial6 | tangential2 | tp4)."""
+        return np.asarray(
+            tuple(self.radial) + tuple(self.tangential) + tuple(self.thin_prism),
+            np.float32,
+        )
+
+
+@dataclass
+class BoundCameraParams:
+    """CameraParams with TRACED coefficient arrays: the model/shutter stay static
+    (they select code paths) while the distortion coefficients are per-sample device
+    values — heterogeneous COLMAP rigs render each view with its own coefficients
+    (reference keeps per-camera tensors, include/core/camera.hpp:16-125)."""
+
+    model: str
+    shutter: str
+    radial: jnp.ndarray  # [6]
+    tangential: jnp.ndarray  # [2]
+    thin_prism: jnp.ndarray  # [4]
+
+
+def bind_coeffs(params: CameraParams, dist=None):
+    """Attach traced distortion coefficients `dist` [12] to a static CameraParams."""
+    if dist is None:
+        return params
+    dist = jnp.asarray(dist, jnp.float32)
+    return BoundCameraParams(
+        model=params.model, shutter=params.shutter,
+        radial=dist[0:6], tangential=dist[6:8], thin_prism=dist[8:12],
+    )
 
 
 # ------------------------------------------------------------------------ OpenCV pinhole
@@ -110,15 +143,21 @@ def _fisheye_dpoly(theta, k):
     return 1.0 + t2 * (3 * k[0] + t2 * (5 * k[1] + t2 * (7 * k[2] + t2 * 9 * k[3])))
 
 
-def fisheye_max_angle(params: CameraParams) -> float:
-    """Smallest positive root of the derivative polynomial, grid-searched on the host
-    (replaces the closed-form cubic of compute_opencv_fisheye_max_angle,
-    Cameras.cuh:756-810). Caps at pi (omnidirectional)."""
+def fisheye_max_angle(params) -> float:
+    """Smallest positive root of the derivative polynomial, grid-searched (replaces the
+    closed-form cubic of compute_opencv_fisheye_max_angle, Cameras.cuh:756-810). Caps at
+    pi (omnidirectional). Static tuples -> host float; traced coefficient arrays
+    (BoundCameraParams) -> traced scalar."""
     k = params.radial[:4]
-    thetas = np.linspace(1e-4, np.pi, 4096)
-    d = 1.0 + thetas**2 * (3 * k[0] + thetas**2 * (5 * k[1] + thetas**2 * (7 * k[2] + thetas**2 * 9 * k[3])))
-    bad = np.nonzero(d <= 0)[0]
-    return float(thetas[bad[0]]) if len(bad) else float(np.pi)
+    if isinstance(params.radial, tuple):
+        thetas = np.linspace(1e-4, np.pi, 4096)
+        d = 1.0 + thetas**2 * (3 * k[0] + thetas**2 * (5 * k[1] + thetas**2 * (7 * k[2] + thetas**2 * 9 * k[3])))
+        bad = np.nonzero(d <= 0)[0]
+        return float(thetas[bad[0]]) if len(bad) else float(np.pi)
+    thetas = jnp.linspace(1e-4, jnp.pi, 4096)
+    t2 = thetas * thetas
+    d = 1.0 + t2 * (3 * k[0] + t2 * (5 * k[1] + t2 * (7 * k[2] + t2 * 9 * k[3])))
+    return jnp.min(jnp.where(d <= 0, thetas, jnp.pi))
 
 
 def fisheye_project(cam_points, fx, fy, cx, cy, params: CameraParams,
@@ -171,12 +210,32 @@ def _in_bounds_margin(img, width: int, height: int, margin: float):
     )
 
 
+def ortho_project(cam_points, fx, fy, cx, cy, width: int, height: int,
+                  margin: float = 0.15):
+    """Orthographic camera (gsplat/Common.h:46-50 ShutterType neighbor enum;
+    Cameras.cuh ortho branch): image point is (fx x + cx, fy y + cy), no z division."""
+    x, y, z = cam_points[..., 0], cam_points[..., 1], cam_points[..., 2]
+    img = jnp.stack([fx * x + cx, fy * y + cy], axis=-1)
+    valid = (z > 0) & _in_bounds_margin(img, width, height, margin)
+    return img, valid
+
+
+def ortho_ray_origins(image_points, fx, fy, cx, cy):
+    """Per-pixel CAMERA-SPACE ray origins for the orthographic model (rays are all
+    +z; origins vary instead — the inverse of ortho_project at z=0)."""
+    u = (image_points[..., 0] - cx) / fx
+    v = (image_points[..., 1] - cy) / fy
+    return jnp.stack([u, v, jnp.zeros_like(u)], axis=-1)
+
+
 def project_points(cam_points, fx, fy, cx, cy, params: CameraParams,
                    width: int, height: int, margin: float = 0.15,
                    max_angle: float | None = None):
     if params.model == "fisheye":
         return fisheye_project(cam_points, fx, fy, cx, cy, params, width, height, margin,
                                max_angle)
+    if params.model == "ortho":
+        return ortho_project(cam_points, fx, fy, cx, cy, width, height, margin)
     return pinhole_project(cam_points, fx, fy, cx, cy, params, width, height, margin)
 
 
@@ -184,6 +243,10 @@ def pixel_rays(image_points, fx, fy, cx, cy, params: CameraParams,
                max_angle: float | None = None):
     if params.model == "fisheye":
         return fisheye_ray(image_points, fx, fy, cx, cy, params, max_angle)
+    if params.model == "ortho":
+        # parallel rays along +z; per-pixel ORIGINS carry the offset (see gut.py)
+        shp = image_points.shape[:-1] + (3,)
+        return jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), shp)
     return pinhole_ray(image_points, fx, fy, cx, cy, params)
 
 

@@ -253,24 +253,32 @@ def rasterize_gut(
     max_angle: float | None = None,
     backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
     shutter_pose=None,  # (q_start [4], t_start [3], q_end [4], t_end [3]) arrays
+    dist=None,  # [12] traced distortion coeffs (radial6|tan2|tp4); overrides cam_params
 ) -> RenderOutput:
     """Differentiable GUT render of one camera (distorted pinhole / fisheye).
 
     Projection (UT) is non-differentiable, matching the reference
     (ProjectionUT3DGSFused is a plain kernel, not an autograd Function); gradients flow to
     the 3D parameters through the world-space ray response and SH colors.
+
+    `dist` makes the distortion coefficients per-sample device values: only the camera
+    MODEL selects a compile variant, so heterogeneous multi-camera rigs render each view
+    with its own coefficients without recompiling (include/core/camera.hpp:16-125).
     """
+    from .cameras import bind_coeffs
     from .rasterize import default_backend
 
     if backend == "auto":
         backend = default_backend()
+    cam_params = bind_coeffs(cam_params, dist)
     if cam_params.model == "fisheye" and max_angle is None:
         max_angle = fisheye_max_angle(cam_params)
     grid_w = -(-width // tile_size)
     grid_h = -(-height // tile_size)
 
     rolling = cam_params.shutter != "global" and shutter_pose is not None
-    if rolling:
+    ortho = cam_params.model == "ortho"
+    if rolling or ortho:
         backend = "xla"  # the Pallas GUT kernel assumes a shared ray origin per camera
     proj, compensation = ut_project(
         jax.lax.stop_gradient(means), jax.lax.stop_gradient(scaling_raw),
@@ -311,6 +319,14 @@ def rasterize_gut(
     else:
         cam_rays = pixel_rays(pix, fx, fy, cx, cy, cam_params, max_angle)  # [T,P,3]
         rays_d = jax.lax.stop_gradient(cam_rays @ w2c[:3, :3])  # world directions
+        if ortho:
+            # parallel rays: per-pixel world-space origin offsets ride the same
+            # delta_o path the rolling shutter uses
+            from .cameras import ortho_ray_origins
+
+            delta_o = jax.lax.stop_gradient(
+                ortho_ray_origins(pix, fx, fy, cx, cy) @ w2c[:3, :3]
+            )
 
     want_depth = render_mode != "RGB"
     if backend == "pallas":

@@ -100,9 +100,13 @@ class MetricsEvaluator:
             rows.append({"image": sample.camera.image_name, "psnr": p, "ssim": s, "lpips": l})
             if save_images:
                 from ..io.image import save_image
+                from ..utils.async_io import writer
 
                 side = np.concatenate([np.asarray(rendered), np.asarray(gt)], axis=2)
-                save_image(str(img_dir / f"{Path(sample.camera.image_name).stem}.png"), side)
+                writer().submit(
+                    save_image,
+                    str(img_dir / f"{Path(sample.camera.image_name).stem}.png"), side,
+                )
 
         result = EvalResult(
             iteration=iteration,

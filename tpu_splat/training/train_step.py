@@ -225,6 +225,7 @@ def train_step(
     fx, fy, cx, cy,
     bg_color: jnp.ndarray,  # [3]
     cam_idx,  # [] int32 — index into the train split (poseopt embedding / bilateral grid)
+    dist=None,  # [12] per-sample distortion coeffs (GUT path; model stays in opt)
     *,
     width: int,
     height: int,
@@ -257,7 +258,7 @@ def train_step(
                 width=width, height=height,
                 max_instances=plan.max_instances, k_max=plan.k_max,
                 tile_size=plan.tile_size, cam_params=opt.cam_params,
-                max_angle=opt.max_angle,
+                max_angle=opt.max_angle, dist=dist,
             )
         else:
             out = rasterize(

@@ -55,6 +55,12 @@ from .train_step import (
 log = get_logger(__name__)
 
 
+def dataclasses_replace_gut(step_cfg):
+    import dataclasses as dc
+
+    return dc.replace(step_cfg, gut=True)
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(int(math.ceil(math.log2(max(x, 1)))), 0)
 
@@ -114,7 +120,18 @@ class Trainer:
         self.step_cfg = StepConfig.from_params(opt)
 
         if load_result is None:
+            ev.emit(ev.DatasetLoadStarted(path=params.dataset.data_path))
             load_result = load(params.dataset.data_path, params.dataset.images, opt.rc)
+            if load_result.scene is not None:
+                ev.emit(ev.DatasetLoadCompleted(
+                    path=params.dataset.data_path,
+                    n_cameras=len(load_result.scene.cameras),
+                ))
+                ev.emit(ev.SceneLoaded(
+                    path=params.dataset.data_path,
+                    n_cameras=len(load_result.scene.cameras),
+                    n_points=int(load_result.scene.points.shape[0]),
+                ))
         if load_result.scene is None:
             raise ValueError("Training requires a camera dataset (COLMAP/Blender), got a model file")
         scene = load_result.scene
@@ -162,16 +179,11 @@ class Trainer:
                 "dataset has distorted/fisheye cameras: pass --gut (trainer.cpp:586-597)"
             )
         if opt.gut:
-            import dataclasses as dc
-
-            from ..ops.cameras import CameraParams, fisheye_max_angle
-
-            cam_params = CameraParams.from_camera(self.train_cams[0])
-            max_angle = (
-                fisheye_max_angle(cam_params) if cam_params.model == "fisheye" else None
-            )
-            self.step_cfg = dc.replace(self.step_cfg, gut=True, cam_params=cam_params,
-                                       max_angle=max_angle)
+            # distortion coefficients are per-sample traced arrays (dist); only the
+            # camera MODEL/shutter select a compile variant — heterogeneous rigs render
+            # each view with its own coefficients (include/core/camera.hpp:16-125)
+            self.step_cfg = dataclasses_replace_gut(self.step_cfg)
+            self._gut_cfg_cache: dict[int, tuple] = {}
             if opt.pose_optimization != "none":
                 raise ValueError("pose optimization is incompatible with --gut (trainer.cpp:371)")
 
@@ -234,6 +246,10 @@ class Trainer:
             "Trainer ready: %d train / %d val cameras, %d gaussians, capacity %d, scene_scale %.3f",
             len(self.train_cams), len(self.val_cams), n0, splat.capacity, splat.scene_scale,
         )
+        ev.emit(ev.TrainerReady(
+            n_train_cameras=len(self.train_cams), n_val_cameras=len(self.val_cams),
+            n_gaussians=n0,
+        ))
 
     @staticmethod
     def _state_from_raw(raw: dict, scene_center, capacity: int, sh_degree: int) -> SplatState:
@@ -267,9 +283,29 @@ class Trainer:
             return bg
         return (1.0 - w) * bg + w * _sine_background(iteration, self._bg_rng)
 
+    def _gut_cfg_for(self, cam):
+        """Per-camera (StepConfig variant, traced coeff vector) for the GUT path."""
+        key = id(cam)
+        hit = self._gut_cfg_cache.get(key)
+        if hit is not None:
+            return hit
+        import dataclasses as dc
+
+        from ..ops.cameras import CameraParams
+
+        full = CameraParams.from_camera(cam)
+        static = CameraParams(model=full.model, shutter=full.shutter)
+        cfg = dc.replace(self.step_cfg, cam_params=static, max_angle=None)
+        out = (cfg, jnp.asarray(full.coeff_vector()))
+        self._gut_cfg_cache[key] = out
+        return out
+
     def _dispatch_step(self, sample, iteration: int) -> PendingStep:
         prev = self.state
         cam = sample.camera
+        cfg, dist = (
+            self._gut_cfg_for(cam) if self.step_cfg.gut else (self.step_cfg, None)
+        )
         self.state, stats = train_step(
             self.state,
             jnp.asarray(sample.image),
@@ -278,8 +314,9 @@ class Trainer:
             sample.fx, sample.fy, sample.cx, sample.cy,
             jnp.asarray(self.background_for_step(iteration)),
             jnp.int32(sample.index),
+            dist,
             width=cam.image_width, height=cam.image_height,
-            plan=self.plan, opt=self.step_cfg,
+            plan=self.plan, opt=cfg,
             total_iterations=self.opt.iterations,
         )
         return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
@@ -373,6 +410,7 @@ class Trainer:
                     self.state, min_opacity=opt.min_opacity, max_cap=opt.max_cap
                 )
                 log.debug("mcmc refine @%d: %s", it, {k: int(v) for k, v in info.items()})
+                ev.emit(ev.ModelUpdated(iteration=it, n_alive=int(info["n_alive"])))
         elif opt.strategy == "default":
             if strategy_default.is_refining(
                 it, opt.start_refine, opt.stop_refine, opt.refine_every,
@@ -460,6 +498,7 @@ class Trainer:
 
                 if it % progress_every == 0 and self._loss_hist:
                     rate = it / (time.time() - t0)
+                    self._live_rate = rate  # live-viewer status endpoint
                     n_alive = int(self.state.splat.n_alive())
                     log.info(
                         "iter %d/%d loss %.4f alive %d %.2f it/s",
@@ -477,9 +516,13 @@ class Trainer:
                     self._render_timelapse(it, out_dir)
                 if self._stop_flag.is_set():
                     log.info("stop requested at iter %d", it)
+                    ev.emit(ev.TrainingStopped(iteration=it))
                     break
-                while self._pause_flag.is_set() and not self._stop_flag.is_set():
-                    time.sleep(0.1)
+                if self._pause_flag.is_set():
+                    ev.emit(ev.TrainingPaused(iteration=it))
+                    while self._pause_flag.is_set() and not self._stop_flag.is_set():
+                        time.sleep(0.1)
+                    ev.emit(ev.TrainingResumed(iteration=it))
                 if self._save_flag.is_set():
                     self._save_flag.clear()
                     redo = self._flush_pending(pending)
@@ -531,6 +574,9 @@ class Trainer:
                 self.evaluator.save_report()
         finally:
             loader.close()
+            from ..utils.async_io import writer
+
+            writer().flush()  # all queued artifact writes are on disk before we return
 
     # ------------------------------------------------------------- eval/save
 
@@ -549,11 +595,12 @@ class Trainer:
         if self.step_cfg.gut:
             from ..ops.gut import rasterize_gut
 
+            cfg, dist = self._gut_cfg_for(cam)
             out = rasterize_gut(
                 *args, width=cam.image_width, height=cam.image_height,
                 max_instances=self.plan.max_instances, k_max=self.plan.k_max,
-                tile_size=self.plan.tile_size, cam_params=self.step_cfg.cam_params,
-                max_angle=self.step_cfg.max_angle,
+                tile_size=self.plan.tile_size, cam_params=cfg.cam_params,
+                max_angle=None, dist=dist,
             )
         else:
             out = rasterize(
@@ -564,6 +611,7 @@ class Trainer:
         return out.image
 
     def evaluate(self, iteration: int):
+        ev.emit(ev.EvaluationStarted(iteration=iteration, num_images=len(self.val_dataset)))
         samples = (self.val_dataset.get(i) for i in range(len(self.val_dataset)))
         result = self.evaluator.evaluate(
             iteration, self.render_camera, samples,
@@ -594,6 +642,8 @@ class Trainer:
 
         ds = self.params.dataset
         wanted = set(ds.timelapse_images)
+        from ..utils.async_io import writer
+
         for idx, cam in enumerate(self.train_cams):
             if cam.image_name not in wanted and Path(cam.image_name).stem not in wanted:
                 continue
@@ -601,7 +651,7 @@ class Trainer:
             img = np.clip(np.asarray(self.render_camera(sample)), 0, 1)
             d = out_dir / "timelapse" / Path(cam.image_name).stem
             d.mkdir(parents=True, exist_ok=True)
-            save_image(str(d / f"{it:06d}.jpg"), img)
+            writer().submit(save_image, str(d / f"{it:06d}.jpg"), img)
 
     def _alive_arrays(self) -> dict:
         splat = self.state.splat
@@ -616,9 +666,19 @@ class Trainer:
         }
 
     def save_ply(self, path: str | Path) -> None:
+        """Device->host gather now; the disk write runs on the artifact writer thread
+        (reference: detached save thread, splat_data.cpp:455-477). train() flushes the
+        writer before returning."""
+        from ..utils.async_io import writer
+
         a = self._alive_arrays()
-        save_splat_ply(
-            path, a["means"], a["sh0"], a["shN"],
-            a["scaling_raw"], a["rotation_raw"], a["opacity_raw"],
-        )
-        log.info("saved %d gaussians to %s", a["means"].shape[0], path)
+        n = a["means"].shape[0]
+
+        def _write():
+            save_splat_ply(
+                path, a["means"], a["sh0"], a["shN"],
+                a["scaling_raw"], a["rotation_raw"], a["opacity_raw"],
+            )
+            log.info("saved %d gaussians to %s", n, path)
+
+        writer().submit(_write)

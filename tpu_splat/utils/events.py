@@ -142,3 +142,71 @@ class StopTraining:
 @dataclass
 class SaveCheckpoint:
     pass
+
+
+# state::* broadcasts (events.hpp:80-131) — the GL-GUI-only events (gizmos, split view,
+# window focus) are deliberately out of scope with the replaced web viewer
+
+
+@dataclass
+class TrainingPaused:
+    iteration: int
+
+
+@dataclass
+class TrainingResumed:
+    iteration: int
+
+
+@dataclass
+class TrainingStopped:
+    iteration: int
+
+
+@dataclass
+class TrainerReady:
+    n_train_cameras: int
+    n_val_cameras: int
+    n_gaussians: int
+
+
+@dataclass
+class SceneLoaded:
+    path: str
+    n_cameras: int
+    n_points: int
+
+
+@dataclass
+class ModelUpdated:
+    iteration: int
+    n_alive: int
+
+
+@dataclass
+class DatasetLoadStarted:
+    path: str
+
+
+@dataclass
+class DatasetLoadCompleted:
+    path: str
+    n_cameras: int
+
+
+@dataclass
+class EvaluationStarted:
+    iteration: int
+    num_images: int
+
+
+@dataclass
+class MemoryUsage:
+    bytes_in_use: int
+
+
+@dataclass
+class FrameRendered:
+    width: int
+    height: int
+    render_ms: float

@@ -148,6 +148,165 @@ def serve(model_path: str, port: int = 8080, width: int = 960, height: int = 540
     server.serve_forever()
 
 
+# ----------------------------------------------------- training-attached live viewer
+
+_LIVE_HUD = """
+<div id="ctl" style="position:fixed;top:8px;right:8px;background:#000a;padding:6px 10px;">
+  <span id="stat">-</span><br/>
+  <button onclick="fetch('/control?action=pause')">pause</button>
+  <button onclick="fetch('/control?action=resume')">resume</button>
+  <button onclick="fetch('/control?action=save')">save ckpt</button>
+  <button onclick="fetch('/control?action=stop')">stop</button>
+</div>
+<script>
+setInterval(async () => {
+  try {
+    const s = await (await fetch('/status')).json();
+    document.getElementById('stat').textContent =
+      `iter ${s.iteration}/${s.total}  loss ${s.loss?.toFixed(4) ?? '-'}  ` +
+      `alive ${s.n_alive}  ${s.iters_per_s?.toFixed(2) ?? '-'} it/s`;
+  } catch (e) {}
+}, 1000);
+</script>
+"""
+
+
+class TrainingViewerState:
+    """Live view of a RUNNING Trainer — the reference's defining visualizer capability
+    (training under a live viewer with shared model access + control events,
+    src/visualizer/training_manager.cpp:121,343; trainer.cpp:871-885 handshake).
+
+    The functional TrainState makes the shared-access problem trivial: each frame grabs
+    an immutable snapshot reference of `trainer.state.splat` — no render lock against
+    the train loop (the reference needs a mutex over the CUDA tensors, SURVEY §8.12).
+    Controls post the same cmd events the Trainer's control flags already subscribe to.
+    """
+
+    def __init__(self, trainer, width: int, height: int, min_interval_s: float = 0.4):
+        self.trainer = trainer
+        self.width = width
+        self.height = height
+        self.min_interval_s = min_interval_s
+        self._last = (0.0, None)  # (time, jpeg) — throttle chip work
+        self.lock = threading.Lock()
+        splat = trainer.state.splat
+        means = np.asarray(splat.means)[np.asarray(splat.alive)]
+        self.center = means.mean(axis=0) if len(means) else np.zeros(3, np.float32)
+        self.base_radius = (
+            float(np.percentile(np.linalg.norm(means - self.center, axis=1), 90)) * 2.0
+            if len(means) else 5.0
+        )
+
+    def status(self) -> dict:
+        tr = self.trainer
+        hist = tr._loss_hist
+        return {
+            "iteration": int(tr.state.iteration) - 1,
+            "total": tr.total_iterations,
+            "loss": float(hist[-1]) if hist else None,
+            "n_alive": int(tr.state.splat.n_alive()),
+            "iters_per_s": getattr(tr, "_live_rate", None),
+            "paused": tr._pause_flag.is_set(),
+        }
+
+    def control(self, action: str) -> None:
+        from .utils import events as ev
+
+        emit = {
+            "pause": ev.PauseTraining, "resume": ev.ResumeTraining,
+            "save": ev.SaveCheckpoint, "stop": ev.StopTraining,
+        }.get(action)
+        if emit is not None:
+            ev.emit(emit())
+
+    def frame(self, theta: float, phi: float, radius: float, mode: str) -> bytes:
+        import time as _t
+
+        with self.lock:
+            now = _t.time()
+            if self._last[1] is not None and now - self._last[0] < self.min_interval_s:
+                return self._last[1]
+            splat = self.trainer.state.splat  # immutable snapshot
+            eye = self.center + self.base_radius * radius * np.array(
+                [math.cos(theta) * math.cos(phi), math.sin(phi),
+                 math.sin(theta) * math.cos(phi)]
+            )
+            w2c = look_at(eye.astype(np.float32), self.center.astype(np.float32))
+            t_r0 = _t.time()
+            out = render_view(splat, w2c, self.width, self.height, render_mode=mode)
+            img = np.clip(np.asarray(out.image), 0, 1)
+            from .utils import events as ev
+
+            ev.emit(ev.FrameRendered(width=self.width, height=self.height,
+                                     render_ms=(_t.time() - t_r0) * 1e3))
+            from PIL import Image
+
+            arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+            bio = io.BytesIO()
+            Image.fromarray(arr).save(bio, format="JPEG", quality=88)
+            jpg = bio.getvalue()
+            self._last = (now, jpg)
+            return jpg
+
+
+def make_live_handler(viewer: "TrainingViewerState"):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/":
+                body = (
+                    _PAGE.replace("__W__", str(viewer.width))
+                    .replace("__H__", str(viewer.height))
+                    .replace("</body>", _LIVE_HUD + "</body>")
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+            elif url.path == "/frame":
+                q = parse_qs(url.query)
+                jpg = viewer.frame(
+                    float(q.get("theta", ["0"])[0]),
+                    float(q.get("phi", ["-0.25"])[0]),
+                    float(q.get("radius", ["1"])[0]),
+                    q.get("mode", ["RGB"])[0],
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.end_headers()
+                self.wfile.write(jpg)
+            elif url.path == "/status":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(viewer.status()).encode())
+            elif url.path == "/control":
+                q = parse_qs(url.query)
+                viewer.control(q.get("action", [""])[0])
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"ok": true}')
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def attach(trainer, port: int = 8080, width: int = 960, height: int = 540):
+    """Start a live training viewer on a daemon thread; returns the server."""
+    viewer = TrainingViewerState(trainer, width, height)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_live_handler(viewer))
+    t = threading.Thread(target=server.serve_forever, name="live-viewer", daemon=True)
+    t.start()
+    log.info("live training viewer on http://0.0.0.0:%d", port)
+    return server
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu_splat.viewer")
     p.add_argument("model", help="PLY or SOG model path")
