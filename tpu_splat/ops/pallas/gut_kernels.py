@@ -419,7 +419,8 @@ def gut_blend_tiles_pallas(
         ginst = jnp.stack(
             [gpacked[:, f, :].reshape(-1) for f in range(17)], axis=1
         )  # [MAX_AL, 17]
-        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e)
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e,
+                                    gather_dtype=jnp.float32)
         g_m = acc[:, 0:9].reshape(n, 3, 3)
         g_gro = acc[:, 9:12]
         g_op = acc[:, 12]

@@ -201,7 +201,7 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
 
-def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e):
+def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloat16):
     """Per-gaussian gradient totals from per-aligned-instance rows without a collision
     scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
     Hillis-Steele scan + affine associative carry propagation, segment-end gathers.
@@ -212,8 +212,17 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e):
     in gid order. Returns [N, width]."""
     max_aligned, width = ginst.shape
     max_inst = qem.shape[0]
-    ginst_pad = jnp.concatenate([ginst, jnp.zeros((1, width), ginst.dtype)], axis=0)
-    ge = ginst_pad[jnp.minimum(qem, max_aligned)]  # [MAX_INST, width]; sentinel -> 0
+    # the emission-order row gather is the most expensive single op of the backward
+    # (~30 ms f32 at 2M instances: each [*,10] row physically occupies a 128-lane tile);
+    # gathering in bf16 halves the tile traffic (measured ~1.7x faster). Only the
+    # PRE-SUM values round (<=0.4% relative, unbiased) — the segment sums and everything
+    # downstream stay f32, and the e2e PSNR gate covers the quality impact. The GUT path
+    # passes gather_dtype=f32: its quaternion chain amplifies the rounding ~10x
+    # (tools/gut_parity_check.py fails at bf16).
+    ginst_pad = jnp.concatenate(
+        [ginst.astype(gather_dtype), jnp.zeros((1, width), gather_dtype)], axis=0
+    )
+    ge = ginst_pad[jnp.minimum(qem, max_aligned)].astype(ginst.dtype)  # sentinel -> 0
 
     blk = 128
     nb = max_inst // blk
