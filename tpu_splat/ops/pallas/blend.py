@@ -202,6 +202,7 @@ def _fwd_kernel(
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
     lane = _lane_iota_row(chunk)
+    u_strict = _strict_upper(chunk)
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -231,11 +232,21 @@ def _fwd_kernel(
 
         lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
         a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
-        # forward keeps the roll-scan recurrence: the MXU log/exp-matmul variant measured
-        # SLOWER here (87 vs 48 ms at ts=32/c=256 — the HIGHEST-precision prefix matmul
-        # costs more than the rolls it replaces; the backward wins because it replaces
-        # TWO scans per chunk)
-        w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
+        # exclusive cumprod via exp(bf16-split MXU prefix of logs): two DEFAULT-precision
+        # matmuls reproduce f32 (see _lane_exclusive_cumsum_f32). A HIGHEST-precision
+        # variant measured SLOWER than the rolls (87 vs 48 ms); the split form is 3x
+        # fewer MXU passes. Rest of _composite_chunk inlined on top of cp_excl.
+        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        t_excl = t_run * cp_excl
+        t_incl = t_excl * one_m
+        below = t_incl < TRANSMITTANCE_THRESHOLD
+        alive_px = dead < 0.5
+        use = valid & ~below & alive_px
+        w = jnp.where(use, a * t_excl, 0.0)
+        t_candidate = jnp.min(jnp.where(below, t_run, t_incl), axis=-1, keepdims=True)
+        t_new = jnp.where(alive_px, t_candidate, t_run)
+        triggered = jnp.max(jnp.where(valid & below, 1.0, 0.0), axis=-1, keepdims=True)
+        dead_new = jnp.maximum(dead, triggered)
 
         # color/depth accumulation as ONE MXU matmul instead of 4 lane reductions
         col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [C, 4]

@@ -69,12 +69,26 @@ def render_view(
     bg: np.ndarray | None = None,
     render_mode: str = "RGB",
     sh_degree: Optional[int] = None,
+    point_cloud: bool = False,
 ):
     f = 0.5 * width / math.tan(math.radians(fov_deg) / 2)
     cam_pos = (-w2c[:3, :3].T @ w2c[:3, 3]).astype(np.float32)
     n = state.capacity
+    scaling_raw, opacity_raw = state.scaling_raw, state.opacity_raw
+    if point_cloud:
+        # point-cloud debug mode (reference viewer: point rendering toggle,
+        # include/rendering/rendering.hpp:42-57): every splat drawn as a small
+        # opaque dot — scales shrunk to ~0.4% of the scene extent, opacity saturated
+        alive_f = state.alive[:, None].astype(jnp.float32)
+        center = jnp.sum(state.means * alive_f, 0) / jnp.maximum(jnp.sum(alive_f), 1)
+        extent = jnp.sqrt(
+            jnp.sum(jnp.sum((state.means - center) ** 2, -1) * alive_f[:, 0])
+            / jnp.maximum(jnp.sum(alive_f), 1)
+        )
+        scaling_raw = jnp.full_like(state.scaling_raw, jnp.log(0.004 * extent + 1e-9))
+        opacity_raw = jnp.full_like(state.opacity_raw, 8.0)
     out = rasterize(
-        state.means, state.scaling_raw, state.rotation_raw, state.opacity_raw,
+        state.means, scaling_raw, state.rotation_raw, opacity_raw,
         state.sh0, state.shN, state.alive,
         jnp.asarray(w2c), jnp.asarray(cam_pos),
         f, f, width / 2.0, height / 2.0,

@@ -35,7 +35,7 @@ body { margin:0; background:#111; color:#ddd; font-family:monospace; }
 #hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px; }
 img { display:block; margin:auto; }
 </style></head><body>
-<div id="hud">drag: orbit &middot; wheel: dolly &middot; d: depth mode</div>
+<div id="hud">drag: orbit &middot; wheel: dolly &middot; d: depth &middot; p: point cloud</div>
 <img id="view" width="__W__" height="__H__"/>
 <script>
 let theta = 0.6, phi = -0.25, radius = 1.0, mode = "RGB", busy = false, dirty = true;
@@ -59,7 +59,10 @@ window.onmousemove = (e) => {
   drag = [e.clientX, e.clientY]; dirty = true;
 };
 window.onwheel = (e) => { radius *= Math.exp(e.deltaY * 0.001); dirty = true; };
-window.onkeydown = (e) => { if (e.key === "d") { mode = mode === "RGB" ? "RGB_ED" : "RGB"; dirty = true; } };
+window.onkeydown = (e) => {
+  if (e.key === "d") { mode = mode === "RGB" ? "RGB_ED" : "RGB"; dirty = true; }
+  if (e.key === "p") { mode = mode === "PC" ? "RGB" : "PC"; dirty = true; }
+};
 dirty = true;
 </script></body></html>
 """
@@ -83,9 +86,11 @@ class ViewerState:
         )
         w2c = look_at(eye.astype(np.float32), self.center.astype(np.float32))
         with self.lock:
-            out = render_view(self.state, w2c, self.width, self.height, render_mode=mode)
+            pc = mode == "PC"
+            out = render_view(self.state, w2c, self.width, self.height,
+                              render_mode="RGB" if pc else mode, point_cloud=pc)
             img = np.clip(np.asarray(out.image), 0, 1)
-            if mode != "RGB" and out.depth is not None:
+            if mode not in ("RGB", "PC") and out.depth is not None:
                 d = np.asarray(out.depth)
                 dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
                 img = np.concatenate([img[:, :, : self.width // 2],
@@ -233,7 +238,9 @@ class TrainingViewerState:
             )
             w2c = look_at(eye.astype(np.float32), self.center.astype(np.float32))
             t_r0 = _t.time()
-            out = render_view(splat, w2c, self.width, self.height, render_mode=mode)
+            pc = mode == "PC"
+            out = render_view(splat, w2c, self.width, self.height,
+                              render_mode="RGB" if pc else mode, point_cloud=pc)
             img = np.clip(np.asarray(out.image), 0, 1)
             from .utils import events as ev
 
