@@ -33,11 +33,11 @@ from .blend import (
     MAX_FRAGMENT_ALPHA,
     MIN_ALPHA,
     TRANSMITTANCE_THRESHOLD,
-    _composite_chunk,
-    _exclusive_from_inclusive_prod,
-    _lane_cumprod,
-    _lane_cumsum,
+    _lane_exclusive_cumsum_f32,
     _lane_iota_row,
+    _mm,
+    _strict_lower,
+    _strict_upper,
 )
 
 NFEAT_GUT = 32
@@ -96,6 +96,7 @@ def _gut_fwd_kernel(
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)
     lane = _lane_iota_row(CHUNK)
+    u_strict = _strict_upper(CHUNK)
     rdx = rays_ref[0, :, 0:1]  # [P, 1]
     rdy = rays_ref[0, :, 1:2]
     rdz = rays_ref[0, :, 2:3]
@@ -125,13 +126,25 @@ def _gut_fwd_kernel(
 
         lane_valid = lane < (count - j * CHUNK)
         a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid)
-        w, t_new, dead_new = _composite_chunk(a, valid, one_m, t_run, dead)
+        # exclusive cumprod via exp(bf16-split MXU log-prefix); rest of
+        # _composite_chunk inlined on top of cp_excl (see blend.py _fwd_kernel)
+        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        t_excl = t_run * cp_excl
+        t_incl = t_excl * one_m
+        below = t_incl < TRANSMITTANCE_THRESHOLD
+        alive_px = dead < 0.5
+        use = valid & ~below & alive_px
+        w = jnp.where(use, a * t_excl, 0.0)
+        t_candidate = jnp.min(jnp.where(below, t_run, t_incl), axis=-1, keepdims=True)
+        t_new = jnp.where(alive_px, t_candidate, t_run)
+        triggered = jnp.max(jnp.where(valid & below, 1.0, 0.0), axis=-1, keepdims=True)
+        dead_new = jnp.maximum(dead, triggered)
 
-        r = r + jnp.sum(w * data[F_R : F_R + 1, :], axis=-1, keepdims=True)
-        g = g + jnp.sum(w * data[F_G : F_G + 1, :], axis=-1, keepdims=True)
-        b = b + jnp.sum(w * data[F_B : F_B + 1, :], axis=-1, keepdims=True)
-        dep = dep + jnp.sum(w * data[F_D : F_D + 1, :], axis=-1, keepdims=True)
-        return j + 1, r, g, b, dep, t_new, dead_new
+        # rgb+depth accumulation as ONE MXU matmul instead of 4 lane reductions
+        col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [C, 4]
+        acc = _mm(w, col4)
+        return (j + 1, r + acc[:, 0:1], g + acc[:, 1:2], b + acc[:, 2:3],
+                dep + acc[:, 3:4], t_new, dead_new)
 
     zero = jnp.zeros((p, 1), jnp.float32)
     j, r, g, b, dep, t_run, dead = jax.lax.while_loop(
@@ -213,6 +226,8 @@ def _gut_bwd_kernel(
     p = tile_size * tile_size
     lane = _lane_iota_row(CHUNK)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
+    u_strict = _strict_upper(CHUNK)
+    s_lower = _strict_lower(CHUNK)
     rdx = rays_ref[0, :, 0:1]
     rdy = rays_ref[0, :, 1:2]
     rdz = rays_ref[0, :, 2:3]
@@ -249,9 +264,10 @@ def _gut_bwd_kernel(
 
         lane_valid = lane < (count - j * CHUNK)
         a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid)
-        cp_incl = _lane_cumprod(one_m)
-        t_excl = t_in * _exclusive_from_inclusive_prod(cp_incl)
-        t_incl = t_in * cp_incl
+        # exclusive lane cumprod via exp(bf16-split MXU log-prefix) — see blend.py
+        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        t_excl = t_in * cp_excl
+        t_incl = t_excl * one_m
         use = valid & (t_incl >= TRANSMITTANCE_THRESHOLD)
         usef = jnp.where(use, 1.0, 0.0)
         w = usef * a * t_excl
@@ -262,9 +278,10 @@ def _gut_bwd_kernel(
         cr, cg, cb_, cd = row(F_R), row(F_G), row(F_B), row(F_D)
         cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd
         u = w * cdotg
-        cum_u = _lane_cumsum(u)
-        total_u = cum_u[:, CHUNK - 1 : CHUNK]
-        suffix = (total_u - cum_u) + s_carry
+        # strictly-later-lane suffix sum as one MXU matmul (total rides for free)
+        sfx = _mm(u, s_lower)
+        total_u = sfx[:, 0:1] + u[:, 0:1]
+        suffix = sfx + s_carry
         dL_da = usef * (t_excl * cdotg - suffix / one_m)
 
         notcl = jnp.where(rs["alpha_raw"] < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
