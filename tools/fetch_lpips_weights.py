@@ -22,9 +22,23 @@ LPIPS_LIN_URL = (
     "https://github.com/richzhang/PerceptualSimilarity/raw/master/"
     "lpips/weights/v0.1/vgg.pth"
 )
+# torchvision's filename convention embeds the first 8 sha256 hex chars of the file
+VGG16_SHA256_PREFIX = "397923af"
 
 
-def main(out: str = "weights/lpips_vgg.npz") -> None:
+def _sha256(p: Path) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(p, "rb") as f:
+        for block in iter(lambda: f.read(1 << 20), b""):
+            h.update(block)
+    return h.hexdigest()
+
+
+def main(out: str = "weights/lpips_vgg.npz", lin_sha256: str | None = None) -> None:
+    """`lin_sha256`: optional expected digest of the LPIPS linear-head file (no
+    authoritative digest is published; pin one after a trusted first download)."""
     import numpy as np
     import torch
 
@@ -35,9 +49,20 @@ def main(out: str = "weights/lpips_vgg.npz") -> None:
         if not p.exists():
             print("downloading", url)
             urllib.request.urlretrieve(url, p)
+    got = _sha256(vgg_p)
+    if not got.startswith(VGG16_SHA256_PREFIX):
+        vgg_p.unlink()
+        raise SystemExit(f"vgg16 sha256 {got} does not match torchvision prefix "
+                         f"{VGG16_SHA256_PREFIX}")
+    lin_digest = _sha256(lin_p)
+    print("lpips linear-head sha256:", lin_digest)
+    if lin_sha256 is not None and lin_digest != lin_sha256:
+        lin_p.unlink()
+        raise SystemExit(f"lpips head sha256 mismatch: {lin_digest} != {lin_sha256}")
 
-    vgg = torch.load(vgg_p, map_location="cpu")
-    lin = torch.load(lin_p, map_location="cpu")
+    # weights_only: these are plain state dicts; never execute pickled code
+    vgg = torch.load(vgg_p, map_location="cpu", weights_only=True)
+    lin = torch.load(lin_p, map_location="cpu", weights_only=True)
 
     # torchvision vgg16 features: conv layers at indices 0,2,5,7,10,12,14,17,19,21,24,26,28
     conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]

@@ -103,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--view-height", type=int, default=720)
     # live training viewer (reference: GUI attach, application.cpp; here a web view)
     p.add_argument("--port", type=int, default=8080, help="live viewer port (non-headless)")
+    p.add_argument("--viewer-host", default="127.0.0.1",
+                   help="live viewer bind address (loopback by default: /control can "
+                        "pause/stop training; pass 0.0.0.0 to expose deliberately)")
     return p
 
 
@@ -208,7 +211,7 @@ def run_headless(args: argparse.Namespace) -> int:
             # src/visualizer/training_manager.cpp:121,343); controls ride the event bus
             from .viewer import attach
 
-            attach(trainer, port=args.port)
+            attach(trainer, port=args.port, host=args.viewer_host)
         trainer.train()
         final = out_dir / "splat_final.ply"
         if final.exists():

@@ -411,7 +411,14 @@ def _bwd_kernel(
         cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd  # [P, C]
 
         u = w * cdotg
-        # strictly-later-lane suffix sum as one MXU matmul; total rides for free
+        # strictly-later-lane suffix sum as one MXU matmul; total rides for free.
+        # DEFAULT precision (u truncated to bf16, ~2^-8 relative) is deliberate: the
+        # suffix feeds dL_da whose other term (t_excl * cdotg) is exact, and the
+        # emission-order gradient gather adds a second ~0.4% pre-sum rounding
+        # (raster.py). Combined budget: <=~0.8% relative on dL_da pre-reduction,
+        # unbiased; bounded by the 2e-2 TPU parity tests and the e2e PSNR floor.
+        # (A hi/lo split here would double the suffix matmul cost for a path whose
+        # accuracy is gated by the gather rounding anyway; GUT uses its own kernels.)
         sfx = _mm(u, s_lower)  # [P, C]: sum over lanes i > c
         total_u = sfx[:, 0:1] + u[:, 0:1]
         suffix = sfx + s_carry  # strictly-later gaussians (+ later chunks)

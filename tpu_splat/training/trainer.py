@@ -285,7 +285,9 @@ class Trainer:
 
     def _gut_cfg_for(self, cam):
         """Per-camera (StepConfig variant, traced coeff vector) for the GUT path."""
-        key = id(cam)
+        # stable identity, not id(): a freed-and-reallocated camera object could reuse
+        # an id and silently pick up another camera's distortion coefficients
+        key = (cam.uid, cam.image_name)
         hit = self._gut_cfg_cache.get(key)
         if hit is not None:
             return hit
@@ -370,13 +372,23 @@ class Trainer:
                 max_instances=_next_bucket(int(plan.max_instances * 1.3)),
                 k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
             )
+        # the blend kernel's per-tile checkpoint caps capacity at 512 chunks
+        # (ops/pallas/raster.py); clamp growth there instead of tripping the assert
+        k_cap = 512 * plan.chunk
         if max_tile > new_plan.k_max:
+            k_want = _next_pow2(int(max_tile * 1.3))
+            if k_want > k_cap:
+                log.warning(
+                    "k_max request %d exceeds kernel capacity %d (tile with %d "
+                    "instances); clamping — denser tiles will be truncated",
+                    k_want, k_cap, max_tile,
+                )
             new_plan = RasterPlan(
                 max_instances=new_plan.max_instances,
-                k_max=_next_pow2(int(max_tile * 1.3)), chunk=plan.chunk, tile_size=plan.tile_size,
+                k_max=min(k_want, k_cap), chunk=plan.chunk, tile_size=plan.tile_size,
             )
-            redo = True
-        elif max_tile > 0.85 * new_plan.k_max:
+            redo = max_tile <= k_cap  # beyond capacity a redo cannot help
+        elif max_tile > 0.85 * new_plan.k_max and new_plan.k_max * 2 <= k_cap:
             new_plan = RasterPlan(
                 max_instances=new_plan.max_instances,
                 k_max=new_plan.k_max * 2, chunk=plan.chunk, tile_size=plan.tile_size,

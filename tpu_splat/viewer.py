@@ -146,10 +146,11 @@ def make_handler(viewer: ViewerState):
     return Handler
 
 
-def serve(model_path: str, port: int = 8080, width: int = 960, height: int = 540):
+def serve(model_path: str, port: int = 8080, width: int = 960, height: int = 540,
+          host: str = "127.0.0.1"):
     viewer = ViewerState(model_path, width, height)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(viewer))
-    log.info("viewer serving %s on http://0.0.0.0:%d", model_path, port)
+    server = ThreadingHTTPServer((host, port), make_handler(viewer))
+    log.info("viewer serving %s on http://%s:%d", model_path, host, port)
     server.serve_forever()
 
 
@@ -304,13 +305,17 @@ def make_live_handler(viewer: "TrainingViewerState"):
     return Handler
 
 
-def attach(trainer, port: int = 8080, width: int = 960, height: int = 540):
-    """Start a live training viewer on a daemon thread; returns the server."""
+def attach(trainer, port: int = 8080, width: int = 960, height: int = 540,
+           host: str = "127.0.0.1"):
+    """Start a live training viewer on a daemon thread; returns the server.
+
+    Binds loopback by default: /control can pause/stop training and trigger checkpoint
+    writes, so exposing it beyond the host is an explicit opt-in (--viewer-host)."""
     viewer = TrainingViewerState(trainer, width, height)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_live_handler(viewer))
+    server = ThreadingHTTPServer((host, port), make_live_handler(viewer))
     t = threading.Thread(target=server.serve_forever, name="live-viewer", daemon=True)
     t.start()
-    log.info("live training viewer on http://0.0.0.0:%d", port)
+    log.info("live training viewer on http://%s:%d", host, port)
     return server
 
 
@@ -320,8 +325,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (default loopback; 0.0.0.0 to expose)")
     args = p.parse_args(argv)
-    serve(args.model, args.port, args.width, args.height)
+    serve(args.model, args.port, args.width, args.height, host=args.host)
     return 0
 
 
