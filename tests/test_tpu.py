@@ -114,7 +114,7 @@ def test_shard_map_single_chip():
     params = {k: s[k] for k in
               ("means", "scaling_raw", "rotation_raw", "opacity_raw", "sh0", "shN")}
     imgs, *_ = render_batch_mc(
-        mesh, params, s["alive"], jnp.zeros((800, 2), jnp.float32),
+        mesh, params, s["alive"], jnp.zeros((1, 800, 2), jnp.float32),
         jnp.eye(4)[None], jnp.zeros((1, 3)),
         jnp.asarray([[f, f, W / 2, H / 2]], jnp.float32), 2, bg,
         width=W, height=H, plan=plan, batch=1,

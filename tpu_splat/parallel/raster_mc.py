@@ -5,23 +5,33 @@ src/training/trainer.cpp:253):
 
   * gaussians are sharded over the mesh "gauss" axis — projection/SH run on the local
     shard only;
-  * each camera's PROJECTED gaussians are all-gathered over "gauss" (a [N, ~16] f32
-    feature table, ~64 MB at 1M — one ICI hop), and each chip rasterizes a WINDOW of
-    tile rows of the image with the same Pallas kernels used single-chip (the window's
-    global row offset rides a scalar-prefetch operand);
+  * the local shard is COMPACTED to frustum-visible gaussians (fixed `gather_budget`
+    slots, overflow reported so the host can grow the budget and redo — same protocol
+    as the instance budget) BEFORE the collective, so the ICI transfer scales with
+    visible count, not capacity;
+  * each camera's projected gaussians are all-gathered over "gauss" (a
+    [g * budget, ~16] f32 feature table — one ICI hop), and each chip rasterizes a
+    WINDOW of tile rows of the image with the same Pallas kernels used single-chip
+    (the window's global row offset rides a scalar-prefetch operand);
   * cameras (the batch axis) are sharded over "data";
   * the backward transposes automatically: shard_map differentiates through the
-    all_gather into a psum_scatter of the projection gradients back to the owning shard,
-    and the batch-mean of the loss averages gradients over "data" — all collectives ride
-    ICI, inserted by the shard_map transpose rules, not hand-written NCCL.
+    all_gather into a psum_scatter of the projection gradients back to the owning shard
+    (and through the compaction gather into a row scatter), and the batch-mean of the
+    loss averages gradients over "data" — all collectives ride ICI, inserted by the
+    shard_map transpose rules, not hand-written NCCL.
 
-On CPU meshes (tests, dryrun) the Pallas kernels run in interpret mode.
+The GUT branch (distorted pinhole / fisheye cameras, ops/gut.py) runs the same schedule
+with the UT projection + world-ray features (isclrot / gro / opacity / color) in place of
+the EWA features; per-camera distortion coefficients are traced [B, 12] arrays.
+
+On CPU meshes (tests, dryrun) the Pallas fast-path kernels run in interpret mode and the
+GUT branch falls back to the XLA chunk-scan blend (the GUT kernels are TPU-only).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -61,11 +71,61 @@ def _window_proj(proj, y0, gh_local: int):
     )
 
 
+def compact_visible(proj, feats, budget: int):
+    """Compact a local-shard projection (+ parallel feature pytree) to its visible rows.
+
+    Returns (cproj, cfeats, n_visible_local). Rows beyond `budget` are DROPPED — the
+    caller must surface n_visible_local so the host can grow the budget and redo
+    (trainer._check_pending), exactly like the instance budget. The row gather
+    transposes to a scatter-add, so gradients flow back to the owning rows.
+    """
+    vis = proj.visible
+    n = vis.shape[0]
+    pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
+    n_vis = pos[-1] + 1
+    arange = jnp.arange(n, dtype=jnp.int32)
+    tgt = jnp.where(vis, pos, budget)
+    take = jnp.zeros((budget,), jnp.int32).at[tgt].set(arange, mode="drop")
+    slot_ok = jnp.arange(budget, dtype=jnp.int32) < n_vis
+
+    def g(x):
+        return x[take]
+
+    cproj = jax.tree.map(g, proj)
+    cproj = cproj._replace(
+        visible=cproj.visible & slot_ok,
+        n_tiles=jnp.where(slot_ok, cproj.n_tiles, 0),
+    )
+    cfeats = jax.tree.map(g, feats)
+    return cproj, cfeats, n_vis
+
+
+class _GutFeats(NamedTuple):
+    isclrot: jax.Array  # [C, 3, 3]
+    gro: jax.Array  # [C, 3]
+    opacity: jax.Array  # [C]
+    color: jax.Array  # [C, 3]
+
+
+def _window_pixel_points(grid_w: int, gh_local: int, tile_size: int, y0, dtype):
+    """Pixel centers of the local tile-row window in GLOBAL image coordinates
+    ([T_loc, P, 2]); `y0` is the traced global tile-row offset."""
+    t = jnp.arange(grid_w * gh_local, dtype=jnp.int32)
+    base_x = (t % grid_w) * tile_size
+    base_y = (t // grid_w + y0) * tile_size
+    off = jnp.arange(tile_size, dtype=jnp.int32)
+    ox = jnp.tile(off, tile_size)
+    oy = jnp.repeat(off, tile_size)
+    px = base_x[:, None] + ox[None, :]
+    py = base_y[:, None] + oy[None, :]
+    return jnp.stack([px, py], axis=-1).astype(dtype) + 0.5
+
+
 def render_batch_mc(
     mesh: Mesh,
     params: dict,  # gaussian-sharded parameter dict (means, ..., opacity_raw)
     alive: jax.Array,  # [C] bool, gaussian-sharded
-    mean2d_offset: jax.Array,  # [C, 2] gaussian-sharded (densification grad tap)
+    mean2d_offset: jax.Array,  # [B, C, 2] (data, gauss)-sharded per-camera grad tap
     w2cs: jax.Array,  # [B, 4, 4] data-sharded
     cam_positions: jax.Array,  # [B, 3]
     intr: jax.Array,  # [B, 4] fx fy cx cy
@@ -74,12 +134,17 @@ def render_batch_mc(
     *,
     width: int,
     height: int,
-    plan: Any,  # RasterPlan; max_instances/k_max are PER-CHIP budgets here
+    plan: Any,  # RasterPlan; max_instances/k_max/gather_budget are PER-CHIP budgets
     batch: int,
+    dist: jax.Array | None = None,  # [B, 12] per-camera distortion (GUT branch)
+    cam_params=None,  # static CameraParams (model/shutter) — not None selects GUT
+    max_angle: float | None = None,
 ):
     """Renders B cameras over the mesh. Returns (images [B,3,H,W] (cropped, sharded
     data x rows), alpha [B,H,W], total_instances [chips,B_loc], max_tile [chips,B_loc],
-    n_visible [chips,B_loc])."""
+    n_visible [chips,B_loc], n_shard_visible [chips,B_loc], visible [B,C] bool —
+    the per-camera full-image visibility used by ADC densification, identical in
+    semantics to the single-path RasterAux.visible)."""
     d = mesh.shape["data"]
     g = mesh.shape["gauss"]
     ts = plan.tile_size
@@ -91,71 +156,170 @@ def render_batch_mc(
     assert batch % d == 0, f"batch {batch} not divisible by mesh data={d}"
     b_loc = batch // d
     interpret = jax.devices()[0].platform == "cpu"
+    budget = getattr(plan, "gather_budget", None)
+    gut = cam_params is not None
+    if gut:
+        from ..ops.cameras import bind_coeffs, pixel_rays
+        from ..ops.gut import ut_project
+        from ..ops.quat import quat_to_rotmat
+        from ..ops.sh import sh_to_color
+
+        if cam_params.shutter != "global" or cam_params.model == "ortho":
+            raise NotImplementedError(
+                "batched GUT supports global-shutter non-ortho models; rolling shutter "
+                "and ORTHO use the single-camera path"
+            )
 
     gauss = P("gauss")
     data = P("data")
+    if dist is None:
+        dist = jnp.zeros((batch, 12), jnp.float32)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            {k: gauss for k in params}, gauss, gauss, data, data, data, P(), P(),
+            {k: gauss for k in params}, gauss, P("data", "gauss"), data, data, data,
+            data, P(), P(),
         ),
         out_specs=(
             P("data", None, "gauss", None),  # tile-row-sharded images
             P("data", "gauss", None),  # alpha
             P(("data", "gauss")), P(("data", "gauss")), P(("data", "gauss")),
+            P(("data", "gauss")),
+            P("data", "gauss"),  # per-camera visibility [B_loc, C_loc]
         ),
     )
-    def fn(prm, alv, m2doff, w2c_l, cpos_l, intr_l, shd, bg):
+    def fn(prm, alv, m2doff, w2c_l, cpos_l, intr_l, dist_l, shd, bg):
         gi = jax.lax.axis_index("gauss")
         y0 = gi * gh_loc
-        imgs, alphas, tots, mxts, nvis = [], [], [], [], []
+        imgs, alphas, tots, mxts, nvis, nshard, viss = [], [], [], [], [], [], []
         for b in range(b_loc):
-            proj = project(
-                prm["means"], prm["scaling_raw"], prm["rotation_raw"],
-                prm["opacity_raw"], prm["sh0"], prm["shN"], alv,
-                w2c_l[b], cpos_l[b],
-                intr_l[b, 0], intr_l[b, 1], intr_l[b, 2], intr_l[b, 3],
-                width, height, shd, tile_size=ts,
-            )
-            proj = proj._replace(mean2d=proj.mean2d + m2doff)
-            proj = jax.lax.optimization_barrier(proj)
-            # one ICI all-gather of the projected feature table; the transpose of this
-            # gather is the psum_scatter that returns gradients to the owning shard
-            projf = jax.tree.map(
-                lambda x: jax.lax.all_gather(x, "gauss", axis=0, tiled=True), proj
-            )
+            fx, fy, cx, cy = intr_l[b, 0], intr_l[b, 1], intr_l[b, 2], intr_l[b, 3]
+            if gut:
+                cp = bind_coeffs(cam_params, dist_l[b])
+                sg = jax.lax.stop_gradient
+                proj, comp = ut_project(
+                    sg(prm["means"]), sg(prm["scaling_raw"]), sg(prm["rotation_raw"]),
+                    sg(prm["opacity_raw"]), alv, w2c_l[b], fx, fy, cx, cy, cp,
+                    width, height, ts, max_angle,
+                )
+                proj, comp = jax.lax.optimization_barrier((proj, comp))
+                rot = quat_to_rotmat(prm["rotation_raw"])
+                inv_scale = jnp.exp(-prm["scaling_raw"])
+                isclrot = inv_scale[:, :, None] * jnp.swapaxes(rot, -1, -2)
+                gro = jnp.einsum(
+                    "nij,nj->ni", isclrot, cpos_l[b][None, :] - prm["means"]
+                )
+                opacity = jax.nn.sigmoid(prm["opacity_raw"][:, 0]) * sg(
+                    jnp.where(proj.visible, 1.0, 0.0)
+                ) * sg(comp)
+                dirs = prm["means"] - cpos_l[b][None, :]
+                color = jnp.maximum(
+                    sh_to_color(prm["sh0"], prm["shN"], dirs, shd), 0.0
+                )
+                feats = _GutFeats(isclrot=isclrot, gro=gro, opacity=opacity, color=color)
+            else:
+                proj = project(
+                    prm["means"], prm["scaling_raw"], prm["rotation_raw"],
+                    prm["opacity_raw"], prm["sh0"], prm["shN"], alv,
+                    w2c_l[b], cpos_l[b], fx, fy, cx, cy,
+                    width, height, shd, tile_size=ts,
+                )
+                proj = proj._replace(mean2d=proj.mean2d + m2doff[b])
+                proj = jax.lax.optimization_barrier(proj)
+                feats = ()
+
+            # full-image visibility of the local shard rows — the densification
+            # signal (matches single-path RasterAux.visible, rasterize.py:233)
+            vis_full = jax.lax.stop_gradient(proj.visible)
+            if budget is not None:
+                proj, feats, n_vis_loc = compact_visible(proj, feats, budget)
+            else:
+                n_vis_loc = jnp.sum(proj.visible.astype(jnp.int32))
+            # one ICI all-gather of the (compacted) projected feature table; the
+            # transpose of this gather is the psum_scatter that returns gradients to
+            # the owning shard
+            ag = lambda x: jax.lax.all_gather(x, "gauss", axis=0, tiled=True)
+            projf = jax.tree.map(ag, proj)
+            featf = jax.tree.map(ag, feats)
             wproj = _window_proj(projf, y0, gh_loc)
             inst = build_sorted_instances(
                 wproj, gw, gh_loc, plan.max_instances, ts, tile_y0=y0
             )
-            tc, ta, _ = blend_tiles_pallas(
-                inst, wproj.mean2d, wproj.conic, wproj.opacity,
-                jnp.maximum(wproj.color, 0.0), wproj.depth,
-                grid_w=gw, grid_h=gh_loc, tile_size=ts, k_max=plan.k_max,
-                chunk=chunk, interpret=interpret, tile_y0=y0,
-            )
-            img, alpha = assemble_image(tc, ta, gw, gh_loc, ts, gw * ts, gh_loc * ts)
+            if gut:
+                pix = _window_pixel_points(gw, gh_loc, ts, y0, wproj.mean2d.dtype)
+                cam_rays = pixel_rays(pix, fx, fy, cx, cy, cp, max_angle)
+                rays_d = jax.lax.stop_gradient(cam_rays @ w2c_l[b][:3, :3])
+                img, alpha = _gut_window_blend(
+                    inst, featf, wproj, rays_d, gw, gh_loc, ts, plan.k_max,
+                    interpret, width,
+                )
+            else:
+                tc, ta, _ = blend_tiles_pallas(
+                    inst, wproj.mean2d, wproj.conic, wproj.opacity,
+                    jnp.maximum(wproj.color, 0.0), wproj.depth,
+                    grid_w=gw, grid_h=gh_loc, tile_size=ts, k_max=plan.k_max,
+                    chunk=chunk, interpret=interpret, tile_y0=y0,
+                )
+                img, alpha = assemble_image(tc, ta, gw, gh_loc, ts, gw * ts, gh_loc * ts)
             img = img + (1.0 - alpha)[None] * bg.reshape(3, 1, 1)
             imgs.append(img)
             alphas.append(alpha)
             tots.append(inst.total_instances)
             mxts.append(inst.max_tile_count)
             nvis.append(inst.n_visible)
+            nshard.append(n_vis_loc)
+            viss.append(vis_full)
         return (
             jnp.stack(imgs),  # [B_loc, 3, gh_loc*ts, gw*ts]
             jnp.stack(alphas),
             jnp.stack(tots)[None],  # [1, B_loc] -> [d*g, B_loc] outside
             jnp.stack(mxts)[None],
             jnp.stack(nvis)[None],
+            jnp.stack(nshard)[None],
+            jnp.stack(viss),  # [B_loc, C_loc]
         )
 
-    imgs, alphas, tots, mxts, nvis = fn(
-        params, alive, mean2d_offset, w2cs, cam_positions, intr, sh_deg, bg_color
+    imgs, alphas, tots, mxts, nvis, nshard, visible = fn(
+        params, alive, mean2d_offset, w2cs, cam_positions, intr, dist, sh_deg, bg_color
     )
     return (
         imgs[:, :, :height, :width],
         alphas[:, :height, :width],
-        tots, mxts, nvis,
+        tots, mxts, nvis, nshard, visible,
     )
+
+
+def _gut_window_blend(inst, featf: _GutFeats, wproj, rays_d, gw: int, gh_loc: int,
+                      ts: int, k_max: int, interpret: bool, width: int):
+    """GUT blend of one tile-row window: Pallas kernels on TPU, XLA chunk scan on CPU."""
+    if not interpret:
+        from ..ops.pallas.gut_kernels import gut_blend_tiles_pallas
+
+        rays4 = jnp.concatenate([rays_d, jnp.zeros_like(rays_d[:, :, :1])], axis=-1)
+        tc, ta, _ = gut_blend_tiles_pallas(
+            inst, featf.isclrot, featf.gro, featf.opacity, featf.color, wproj.depth,
+            rays4, grid_w=gw, grid_h=gh_loc, tile_size=ts, k_max=k_max,
+        )
+    else:
+        from ..ops.gut import _gut_blend, _GutBlendInputs
+        from ..ops.tiles import TileAssignment
+
+        assign = TileAssignment(
+            gaussian_idx=inst.sorted_gid,
+            tile_start=inst.tile_start,
+            tile_count=inst.tile_count,
+            total_instances=inst.total_instances,
+            max_tile_count=inst.max_tile_count,
+            n_visible=inst.n_visible,
+        )
+        gin = _GutBlendInputs(
+            isclrot=featf.isclrot, gro=featf.gro, opacity=featf.opacity,
+            color=featf.color, depth=wproj.depth,
+        )
+        out, ta = _gut_blend(
+            assign, gin, rays_d, gw, gh_loc, ts, k_max, chunk=8, want_depth=False
+        )
+        tc = out[:, :, :3]
+    return assemble_image(tc, ta, gw, gh_loc, ts, gw * ts, gh_loc * ts)

@@ -142,6 +142,9 @@ class StepStats(NamedTuple):
     total_instances: jnp.ndarray
     max_tile_count: jnp.ndarray
     n_visible: jnp.ndarray
+    # multi-chip: max per-shard visible count (pre-all-gather compaction budget check);
+    # == n_visible on the single-chip path
+    n_shard_visible: jnp.ndarray = None
 
 
 @dataclass(frozen=True)
@@ -152,6 +155,9 @@ class RasterPlan:
     k_max: int
     chunk: int = 64
     tile_size: int = 16
+    # multi-chip: per-shard slot budget for the pre-all-gather visible compaction
+    # (parallel/raster_mc.py); None = gather the full capacity shard
+    gather_budget: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -349,6 +355,7 @@ def train_step(
         total_instances=aux.total_instances,
         max_tile_count=aux.max_tile_count,
         n_visible=aux.n_visible,
+        n_shard_visible=aux.n_visible,
     )
     return new_ts, stats
 

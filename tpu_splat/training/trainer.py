@@ -17,6 +17,7 @@ Schedule hooks (all host-dispatched between steps, against the reference's post_
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time
 from dataclasses import dataclass
@@ -217,15 +218,36 @@ class Trainer:
                 raise ValueError(
                     f"batch_size {self.batch_size} not divisible by mesh data={data_ax}"
                 )
-            for feat in ("use_bilateral_grid",):
-                if getattr(opt, feat, False):
-                    raise ValueError(f"{feat} is not supported with batch training yet")
-            if opt.pose_optimization != "none" or opt.gut:
-                raise ValueError("pose-opt/GUT are not supported with batch training yet")
+            if opt.gut:
+                # batched GUT: one static (model, shutter) variant for the whole batch;
+                # per-camera coefficients stay traced [B, 12] arrays
+                from ..ops.cameras import CameraParams
+
+                variants = {
+                    (CameraParams.from_camera(c).model, CameraParams.from_camera(c).shutter)
+                    for c in self.train_cams
+                }
+                if len(variants) != 1:
+                    raise ValueError(
+                        f"batched GUT requires a uniform camera model; got {variants}"
+                    )
+                (model, shutter), = variants
+                if shutter != "global" or model == "ortho":
+                    raise ValueError(
+                        "batched GUT supports global-shutter non-ortho models; use "
+                        "--batch-size 1 for rolling shutter / ORTHO"
+                    )
             self.mesh = make_mesh(jax.devices()[:n_dev], data=data_ax)
             self.state = shard_train_state(self.mesh, self.state)
             self._batched_step = make_batched_train_step(self.mesh)
-            log.info("multi-chip mesh: %s (batch %d)", dict(self.mesh.shape), self.batch_size)
+            g_ax = self.mesh.shape["gauss"]
+            shard_cap = max(1, splat.capacity // g_ax)
+            self.plan = dataclasses.replace(
+                self.plan,
+                gather_budget=min(_next_bucket(max(n0 // g_ax, 1) * 2), shard_cap),
+            )
+            log.info("multi-chip mesh: %s (batch %d, gather_budget %d)",
+                     dict(self.mesh.shape), self.batch_size, self.plan.gather_budget)
         self.evaluator = MetricsEvaluator(params.dataset.output_path or ".")
         self._bg_rng = np.random.default_rng(1234)
         self._loss_hist: list[float] = []
@@ -346,10 +368,19 @@ class Trainer:
         intr = jax.device_put(
             jnp.asarray([[s.fx, s.fy, s.cx, s.cy] for s in samples], jnp.float32), dsh
         )
+        cam_idxs = jax.device_put(
+            jnp.asarray([s.index for s in samples], jnp.int32), dsh
+        )
+        cfg, dist = self.step_cfg, None
+        if self.step_cfg.gut:
+            pairs = [self._gut_cfg_for(c) for c in cams]
+            cfg = pairs[0][0]  # uniform (model, shutter) enforced at init
+            dist = jax.device_put(jnp.stack([p[1] for p in pairs]), dsh)
         self.state, stats = self._batched_step(
             self.state, gts, w2cs, cpos, intr,
             jnp.asarray(self.background_for_step(iteration)),
-            width=w, height=h, plan=self.plan, opt=self.step_cfg,
+            cam_idxs, dist,
+            width=w, height=h, plan=self.plan, opt=cfg,
             total_iterations=self.opt.iterations,
         )
         return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
@@ -393,6 +424,24 @@ class Trainer:
                 max_instances=new_plan.max_instances,
                 k_max=new_plan.k_max * 2, chunk=plan.chunk, tile_size=plan.tile_size,
             )
+        # multi-chip: per-shard visible count vs the pre-all-gather compaction budget
+        if plan.gather_budget is not None and self.mesh is not None:
+            nsv = int(pending.stats.n_shard_visible)
+            shard_cap = max(1, self.state.splat.capacity // self.mesh.shape["gauss"])
+            if nsv > plan.gather_budget:
+                new_plan = dataclasses.replace(
+                    new_plan,
+                    gather_budget=min(_next_bucket(int(nsv * 1.3)), shard_cap),
+                )
+                redo = True
+            elif (nsv > 0.85 * plan.gather_budget
+                  and new_plan.gather_budget < shard_cap):
+                new_plan = dataclasses.replace(
+                    new_plan,
+                    gather_budget=min(
+                        _next_bucket(int(plan.gather_budget * 1.3)), shard_cap
+                    ),
+                )
         if new_plan != plan:
             log.info(
                 "raster plan %s -> %s at iter %d (instances %d, max tile %d)%s",
