@@ -12,6 +12,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_splat.core.splat import init_from_pointcloud
 from tpu_splat.ops.cameras import (
@@ -294,3 +295,41 @@ def test_ortho_camera_model():
     args2 = (shifted["means"],) + args[1:]
     out2 = rasterize_gut(*args2, cam_params=CameraParams(model="ortho"), **kw)
     np.testing.assert_allclose(np.asarray(out2.image), img, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["rolling", "ortho"])
+def test_gut_pallas_per_pixel_origin_matches_xla(mode):
+    """Rolling shutter and ORTHO through the Pallas GUT kernels (interpret mode):
+    the per-pixel-origin rays block ([T,P,8], gro(p) = gro + M delta_o(p)) must match
+    the XLA chunk-scan blend's delta_o path in images AND gradients — closes the
+    PARITY.md kernel-fallback gap (ref gsplat/RasterizeToPixelsFromWorld3DGSFwd.cu:207-241)."""
+    scene = make_scene(150, seed=9)
+    splat = {k: jnp.asarray(v) for k, v in scene.items()}
+    cam = make_camera(32, 32)
+    kw = dict(width=32, height=32, max_instances=1 << 12, k_max=256, chunk=16)
+    if mode == "rolling":
+        w2c_end = np.asarray(cam["w2c"], np.float32).copy()
+        w2c_end[0, 3] += 0.2
+        qs, ts_ = _pose_from_w2c(cam["w2c"])
+        qe, te = _pose_from_w2c(w2c_end)
+        extra = dict(cam_params=CameraParams(shutter="top_to_bottom"),
+                     shutter_pose=(qs, ts_, qe, te))
+    else:
+        extra = dict(cam_params=CameraParams(model="ortho"))
+    args_tail = (splat["scaling_raw"], splat["rotation_raw"], splat["opacity_raw"],
+                 splat["sh0"], splat["shN"], splat["alive"],
+                 jnp.asarray(cam["w2c"]), jnp.asarray(cam["cam_position"]),
+                 cam["fx"], cam["fy"], cam["cx"], cam["cy"], 3, jnp.zeros(3))
+
+    def run(backend):
+        def loss_fn(m):
+            out = rasterize_gut(m, *args_tail, backend=backend, **extra, **kw)
+            return jnp.sum(out.image ** 2) * 1e-2, out
+        (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(splat["means"])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas")
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 1e-3
+    scale = float(jnp.max(jnp.abs(g_x))) + 1e-12
+    assert float(jnp.max(jnp.abs(g_x - g_p))) / scale < 5e-3

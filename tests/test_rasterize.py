@@ -145,3 +145,38 @@ def test_dead_slots_do_not_render():
     scene2 = {k: (v[:100] if k != "shN" else v[:100]) for k, v in scene.items()}
     out2, _, _ = _render_both(scene2, cam)
     np.testing.assert_allclose(np.asarray(out.image), np.asarray(out2.image), atol=1e-6)
+
+
+@pytest.mark.parametrize("pack_bf16", [False, True])
+def test_pallas_interpret_matches_xla(pack_bf16):
+    """The Pallas blend path (interpret mode on CPU) against the XLA scan blend,
+    images AND gradients, in both feature-pack dtypes. The bf16 hi/lo pack
+    (blend.py B_* layout) budgets <=0.4% forward rounding on opacity/color/depth;
+    mean2d/conic reconstruct ~f32 from hi+lo pairs."""
+    scene = make_scene(400, 7)
+    cam = make_camera(48, 48)
+    kw = dict(width=48, height=48, max_instances=1 << 13, k_max=256, chunk=128,
+              tile_size=16)
+    args = (
+        scene["means"], scene["scaling_raw"], scene["rotation_raw"],
+        scene["opacity_raw"], scene["sh0"], scene["shN"], scene["alive"],
+        cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"], cam["cx"], cam["cy"],
+        3, jnp.asarray([0.1, 0.2, 0.3]),
+    )
+
+    def run(backend, **extra):
+        def loss_fn(m, sc, r, o):
+            out = rasterize(m, sc, r, o, *args[4:], backend=backend, **extra, **kw)
+            tgt = jnp.linspace(0, 1, 48)[None, None, :]
+            return jnp.sum((out.image - tgt) ** 2) * 1e-3, out
+        (_, out), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            *args[:4])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas", pack_bf16=pack_bf16)
+    img_tol = 5e-3 if pack_bf16 else 1e-5
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < img_tol
+    for gx, gp in zip(g_x, g_p):
+        scale = float(jnp.max(jnp.abs(gx))) + 1e-12
+        assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2

@@ -63,6 +63,36 @@ def test_pallas_blend_parity(chunk, tile):
         assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
 
 
+def test_pallas_blend_parity_bf16_pack():
+    """bf16 hi/lo feature pack on the chip: same oracle, bf16-sized tolerances."""
+    from tpu_splat.ops.rasterize import rasterize
+
+    s = _scene()
+    W, H = 128, 96
+    f = 0.9 * W
+    kw = dict(width=W, height=H, max_instances=1 << 15, k_max=1024, chunk=256,
+              tile_size=32)
+    args = (s["means"], s["scaling_raw"], s["rotation_raw"], s["opacity_raw"],
+            s["sh0"], s["shN"], s["alive"], jnp.eye(4), jnp.zeros(3),
+            f, f, W / 2, H / 2, 3, jnp.asarray([0.1, 0.2, 0.3]))
+
+    def run(backend, **extra):
+        def loss_fn(m, sc, r, o):
+            out = rasterize(m, sc, r, o, *args[4:], backend=backend, **extra, **kw)
+            tgt = jnp.linspace(0, 1, W)[None, None, :]
+            return jnp.sum((out.image - tgt) ** 2) * 1e-3, out
+        (l, out), g = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+            *args[:4])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas", pack_bf16=True)
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 1e-2
+    for gx, gp in zip(g_x, g_p):
+        scale = float(jnp.max(jnp.abs(gx))) + 1e-12
+        assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
+
+
 def test_gut_pallas_parity():
     from tpu_splat.ops.cameras import CameraParams
     from tpu_splat.ops.gut import rasterize_gut
@@ -82,6 +112,50 @@ def test_gut_pallas_parity():
             out = rasterize_gut(m, *args[1:], backend=backend, **kw)
             return jnp.sum(out.image ** 2) * 1e-3, out
         (l, out), g = jax.value_and_grad(loss_fn, has_aux=True)(args[0])
+        return out, g
+
+    out_x, g_x = run("xla")
+    out_p, g_p = run("pallas")
+    assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 2e-2
+    scale = float(jnp.max(jnp.abs(g_x))) + 1e-12
+    assert float(jnp.max(jnp.abs(g_x - g_p))) / scale < 2e-2
+
+
+@pytest.mark.parametrize("mode", ["rolling", "ortho"])
+def test_gut_per_pixel_origin_parity(mode):
+    """Rolling-shutter / ORTHO through the Pallas GUT kernels on the chip (the
+    [T,P,8] per-pixel-origin rays block) against the XLA chunk-scan blend."""
+    from tpu_splat.ops.cameras import CameraParams
+    from tpu_splat.ops.gut import rasterize_gut
+    from scipy.spatial.transform import Rotation
+
+    s = _scene(n=800, seed=5)
+    W, H = 96, 64
+    f = 0.9 * W
+    kw = dict(width=W, height=H, max_instances=1 << 13, k_max=512, chunk=16)
+    if mode == "rolling":
+        w2c = np.eye(4, dtype=np.float32)
+        w2c_end = w2c.copy()
+        w2c_end[0, 3] += 0.15
+
+        def q_of(m):
+            x, y, z, w = Rotation.from_matrix(m[:3, :3]).as_quat()
+            return jnp.asarray([w, x, y, z], jnp.float32)
+
+        extra = dict(cam_params=CameraParams(shutter="top_to_bottom"),
+                     shutter_pose=(q_of(w2c), jnp.asarray(w2c[:3, 3]),
+                                   q_of(w2c_end), jnp.asarray(w2c_end[:3, 3])))
+    else:
+        extra = dict(cam_params=CameraParams(model="ortho"))
+    args = (s["scaling_raw"], s["rotation_raw"], s["opacity_raw"],
+            s["sh0"], s["shN"], s["alive"], jnp.eye(4), jnp.zeros(3),
+            f, f, W / 2, H / 2, 3, jnp.asarray([0.1, 0.2, 0.3]))
+
+    def run(backend):
+        def loss_fn(m):
+            out = rasterize_gut(m, *args, backend=backend, **extra, **kw)
+            return jnp.sum(out.image ** 2) * 1e-3, out
+        (_, out), g = jax.value_and_grad(loss_fn, has_aux=True)(s["means"])
         return out, g
 
     out_x, g_x = run("xla")

@@ -278,8 +278,6 @@ def rasterize_gut(
 
     rolling = cam_params.shutter != "global" and shutter_pose is not None
     ortho = cam_params.model == "ortho"
-    if rolling or ortho:
-        backend = "xla"  # the Pallas GUT kernel assumes a shared ray origin per camera
     proj, compensation = ut_project(
         jax.lax.stop_gradient(means), jax.lax.stop_gradient(scaling_raw),
         jax.lax.stop_gradient(rotation_raw), jax.lax.stop_gradient(opacity_raw),
@@ -334,12 +332,17 @@ def rasterize_gut(
         from .pallas.raster import build_sorted_instances
 
         inst = build_sorted_instances(proj, grid_w, grid_h, max_instances, tile_size)
-        rays4 = jnp.concatenate(
-            [rays_d, jnp.zeros_like(rays_d[:, :, :1])], axis=-1
-        )  # [T, P, 4]
+        pad1 = jnp.zeros_like(rays_d[:, :, :1])
+        if delta_o is None:
+            rays_in = jnp.concatenate([rays_d, pad1], axis=-1)  # [T, P, 4]
+        else:
+            # rolling shutter / ORTHO: per-pixel origin offsets ride cols 4-6 and the
+            # kernel computes gro(p) = gro + M delta_o(p) (Cameras.cuh:346-414)
+            rays_in = jnp.concatenate([rays_d, pad1, delta_o, pad1], axis=-1)  # [T,P,8]
         tile_colors, tile_alpha, tile_depth = gut_blend_tiles_pallas(
-            inst, isclrot, gro, opacity, color, proj.depth, rays4,
+            inst, isclrot, gro, opacity, color, proj.depth, rays_in,
             grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
+            interpret=jax.devices()[0].platform == "cpu",
         )
         tile_out = jnp.concatenate([tile_colors, tile_depth[:, :, None]], axis=-1)
         counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)

@@ -35,9 +35,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# feature-row indices in the packed [R, 16, 128] instance array
+# feature-row indices in the packed [R, 16, 128] instance array (f32 layout)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 NFEAT = 16  # padded to a (16, 128) f32 tile
+
+# bf16 feature layout: mean2d and conic ride as hi/lo bf16 pairs (the pair reconstructs
+# ~f32: truncation error ~2^-17 relative, i.e. ~0.01 px on a 1296-px image), opacity/
+# color/depth as single bf16 (<=0.4% relative — the forward AND backward use the same
+# rounded values, so training optimizes through an exactly-differentiated, slightly
+# perturbed rasterizer). Halves the pack-gather and kernel DMA traffic vs f32.
+(B_MXH, B_MXL, B_MYH, B_MYL, B_CAH, B_CAL, B_CBH, B_CBL, B_CCH, B_CCL,
+ B_OP, B_R, B_G, B_B, B_D) = range(15)
 
 MIN_ALPHA = 1.0 / 255.0
 MAX_FRAGMENT_ALPHA = 0.999
@@ -119,18 +127,28 @@ def _pixel_coords(t, grid_w: int, tile_size: int, p: int, tile_y0=0):
     return px, py
 
 
-def _chunk_alphas(data, px, py, lane_valid):
+def _feat_rows(data, feat_bf16: bool):
+    """Feature rows of one [16, chunk] block as [1, chunk] f32, either layout.
+
+    bf16 layout reconstructs mean2d/conic from hi+lo pairs ([1, chunk] adds — negligible
+    next to the [P, chunk] work) and upcasts the single-bf16 rows."""
+    if feat_bf16:
+        f = lambda i: data[i : i + 1, :].astype(jnp.float32)
+        return (f(B_MXH) + f(B_MXL), f(B_MYH) + f(B_MYL),
+                f(B_CAH) + f(B_CAL), f(B_CBH) + f(B_CBL), f(B_CCH) + f(B_CCL),
+                f(B_OP), f(B_R), f(B_G), f(B_B), f(B_D))
+    f = lambda i: data[i : i + 1, :]
+    return (f(F_MX), f(F_MY), f(F_CA), f(F_CB), f(F_CC),
+            f(F_OP), f(F_R), f(F_G), f(F_B), f(F_D))
+
+
+def _chunk_alphas(rows, px, py, lane_valid):
     """Per-(pixel, gaussian) alpha + masks for one chunk.
 
-    data [16, 128] feature block; px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
+    rows = _feat_rows(...); px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
     Returns (a, valid, one_m) each [P, 128]; a has invalid entries zeroed.
     """
-    mx = data[F_MX : F_MX + 1, :]  # [1, 128]
-    my = data[F_MY : F_MY + 1, :]
-    ca = data[F_CA : F_CA + 1, :]
-    cb = data[F_CB : F_CB + 1, :]
-    cc = data[F_CC : F_CC + 1, :]
-    op = data[F_OP : F_OP + 1, :]
+    mx, my, ca, cb, cc, op = rows[:6]
 
     dx = mx - px  # [P, 128]
     dy = my - py
@@ -191,6 +209,7 @@ def _fwd_kernel(
     grid_w: int,
     tile_size: int,
     chunk: int,
+    feat_bf16: bool = False,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -231,7 +250,8 @@ def _fwd_kernel(
         chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
 
         lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
-        a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
+        rows = _feat_rows(data, feat_bf16)
+        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid)
         # exclusive cumprod via exp(bf16-split MXU prefix of logs): two DEFAULT-precision
         # matmuls reproduce f32 (see _lane_exclusive_cumsum_f32). A HIGHEST-precision
         # variant measured SLOWER than the rolls (87 vs 48 ms); the split form is 3x
@@ -249,7 +269,8 @@ def _fwd_kernel(
         dead_new = jnp.maximum(dead, triggered)
 
         # color/depth accumulation as ONE MXU matmul instead of 4 lane reductions
-        col4 = jnp.transpose(data[F_R : F_D + 1, :])  # [C, 4]
+        c0 = B_R if feat_bf16 else F_R
+        col4 = jnp.transpose(data[c0 : c0 + 4, :]).astype(jnp.float32)  # [C, 4]
         acc4 = acc4 + _mm(w, col4)
         return j + 1, acc4, t_new, dead_new
 
@@ -274,7 +295,7 @@ def _fwd_kernel(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk", "interpret")
 )
 def blend_forward(
-    packed: jax.Array,  # [R, 16, chunk]
+    packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
     row_start: jax.Array,  # [T] int32 chunk-row offsets into packed
     tile_count: jax.Array,  # [T] int32 (already capped at k_max)
     *,
@@ -288,6 +309,7 @@ def blend_forward(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
+    feat_bf16 = packed.dtype == jnp.bfloat16
     y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
           else jnp.asarray(tile_y0, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -301,13 +323,14 @@ def blend_forward(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), packed.dtype),
             pltpu.VMEM((p, max_chunks), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, chk = pl.pallas_call(
-        functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk),
+        functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
+                          feat_bf16=feat_bf16),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -337,6 +360,7 @@ def _bwd_kernel(
     grid_w: int,
     tile_size: int,
     chunk: int,
+    feat_bf16: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -393,7 +417,9 @@ def _bwd_kernel(
         )  # [P, 1]; 0 where this chunk never ran (forward stopped earlier)
 
         lane_valid = lane < (count - j * chunk)
-        a, valid, one_m = _chunk_alphas(data, px, py, lane_valid)
+        rows = _feat_rows(data, feat_bf16)
+        mx, my, ca, cb2, cc, op, cr, cg, cb_, cd = rows
+        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid)
         # exclusive lane cumprod via exp(MXU prefix-sum of logs) — see _strict_upper
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
         t_excl = t_in * cp_excl
@@ -404,10 +430,6 @@ def _bwd_kernel(
         usef = jnp.where(use, 1.0, 0.0)
         w = usef * a * t_excl  # [P, C]
 
-        cr = data[F_R : F_R + 1, :]
-        cg = data[F_G : F_G + 1, :]
-        cb_ = data[F_B : F_B + 1, :]
-        cd = data[F_D : F_D + 1, :]
         cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd  # [P, C]
 
         u = w * cdotg
@@ -426,12 +448,6 @@ def _bwd_kernel(
         dL_da = usef * (t_excl * cdotg - suffix / one_m)
 
         # chain rule through alpha = min(op * exp(-max(sigma, 0)), 0.999)
-        op = data[F_OP : F_OP + 1, :]
-        mx = data[F_MX : F_MX + 1, :]
-        my = data[F_MY : F_MY + 1, :]
-        ca = data[F_CA : F_CA + 1, :]
-        cb2 = data[F_CB : F_CB + 1, :]
-        cc = data[F_CC : F_CC + 1, :]
         dx = mx - px
         dy = my - py
         sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb2 * dx * dy
@@ -472,7 +488,10 @@ def _bwd_kernel(
         def _():
             out_dma(slot, j).wait()
 
-        gbuf[slot] = grads
+        # bf16 grad output rounds only the PRE-reduction per-instance values (the
+        # downstream segment sums stay f32) — identical numerics to the former
+        # post-unpack bf16 cast in segmented_grad_reduce, at half the DMA traffic
+        gbuf[slot] = grads.astype(gbuf.dtype)
         out_dma(slot, j).start()
 
         return s_carry + total_u
@@ -490,10 +509,11 @@ def _bwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk", "interpret")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
+                              "interpret", "grad_dtype")
 )
 def blend_backward(
-    packed: jax.Array,  # [R, 16, chunk]
+    packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
     row_start: jax.Array,
     tile_count: jax.Array,
     chk: jax.Array,  # [T, P, MAXC]
@@ -507,13 +527,15 @@ def blend_backward(
     chunk: int = CHUNK,
     interpret: bool = False,
     tile_y0=None,
+    grad_dtype=jnp.float32,  # bf16 = pre-reduction rounding, half the output DMA
 ) -> jax.Array:
-    """Returns gpacked [R, 16, chunk]; rows never touched by any tile stay zero
-    (zero-init via input-output aliasing)."""
+    """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
+    stay zero (zero-init via input-output aliasing)."""
     p = tile_size * tile_size
+    feat_bf16 = packed.dtype == jnp.bfloat16
     y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
           else jnp.asarray(tile_y0, jnp.int32).reshape(1))
-    gzero = jnp.zeros(packed.shape, jnp.float32)
+    gzero = jnp.zeros(packed.shape, grad_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -526,16 +548,17 @@ def blend_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
-            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),
+            pltpu.VMEM((2, NFEAT, chunk), packed.dtype),
+            pltpu.VMEM((2, NFEAT, chunk), grad_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     gpacked = pl.pallas_call(
-        functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk),
+        functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
+                          feat_bf16=feat_bf16),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024

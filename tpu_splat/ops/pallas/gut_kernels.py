@@ -45,10 +45,13 @@ NFEAT_GUT = 32
  F_GX, F_GY, F_GZ, F_OP, F_R, F_G, F_B, F_D) = range(17)
 
 
-def _ray_response(data, rdx, rdy, rdz, lane_valid):
+def _ray_response(data, rdx, rdy, rdz, lane_valid, do=None):
     """alpha + masks + residuals for one chunk.
 
-    data [32, 128]; rd* [P, 1]. Returns (a, valid, one_m, resid dict) with [P, C] arrays.
+    data [32, 128]; rd* [P, 1]. `do` = per-pixel ray-origin offsets (dox, doy, doz)
+    [P, 1] each (rolling shutter / ORTHO, Cameras.cuh:346-414): the effective
+    gro(p) = gro + M delta_o(p) varies per pixel. Returns (a, valid, one_m, resid dict)
+    with [P, C] arrays; resid g1/g2/g3 are the effective gro ([1, C] or [P, C]).
     """
     def row(i):
         return data[i : i + 1, :]
@@ -60,6 +63,11 @@ def _ray_response(data, rdx, rdy, rdz, lane_valid):
     inorm = jax.lax.rsqrt(jnp.maximum(vv, 1e-24))
     n1, n2, n3 = v1 * inorm, v2 * inorm, v3 * inorm
     gx, gy, gz = row(F_GX), row(F_GY), row(F_GZ)
+    if do is not None:
+        dox, doy, doz = do
+        gx = gx + row(F_M00) * dox + row(F_M01) * doy + row(F_M02) * doz  # [P, C]
+        gy = gy + row(F_M10) * dox + row(F_M11) * doy + row(F_M12) * doz
+        gz = gz + row(F_M20) * dox + row(F_M21) * doy + row(F_M22) * doz
     c1 = n2 * gz - n3 * gy
     c2 = n3 * gx - n1 * gz
     c3 = n1 * gy - n2 * gx
@@ -70,7 +78,7 @@ def _ray_response(data, rdx, rdy, rdz, lane_valid):
     valid = (alpha >= MIN_ALPHA) & lane_valid
     a = jnp.where(valid, alpha, 0.0)
     resid = dict(n1=n1, n2=n2, n3=n3, inorm=inorm, c1=c1, c2=c2, c3=c3, e=e,
-                 alpha_raw=alpha_raw)
+                 alpha_raw=alpha_raw, g1=gx, g2=gy, g3=gz)
     return a, valid, 1.0 - a, resid
 
 
@@ -80,12 +88,13 @@ def _ray_response(data, rdx, rdy, rdz, lane_valid):
 def _gut_fwd_kernel(
     row_start_ref, count_ref,
     packed_ref,  # [R, 32, 128] HBM
-    rays_ref,  # [1, P, 4] VMEM (world ray directions per pixel of this tile)
+    rays_ref,  # [1, P, 4|8] VMEM (world ray dirs; cols 4-6 = origin offsets if present)
     out_ref,  # [1, P, 8] VMEM: rgb, T_final, depth-accum
     chk_ref,  # [1, P, MAXC] VMEM
     buf, chk_s, sems,
     *,
     tile_size: int,
+    per_pixel_origin: bool = False,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -100,6 +109,8 @@ def _gut_fwd_kernel(
     rdx = rays_ref[0, :, 0:1]  # [P, 1]
     rdy = rays_ref[0, :, 1:2]
     rdz = rays_ref[0, :, 2:3]
+    do = (rays_ref[0, :, 4:5], rays_ref[0, :, 5:6], rays_ref[0, :, 6:7]) \
+        if per_pixel_origin else None
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -125,7 +136,7 @@ def _gut_fwd_kernel(
         chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
 
         lane_valid = lane < (count - j * CHUNK)
-        a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid)
+        a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do)
         # exclusive cumprod via exp(bf16-split MXU log-prefix); rest of
         # _composite_chunk inlined on top of cp_excl (see blend.py _fwd_kernel)
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
@@ -161,16 +172,18 @@ def _gut_fwd_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks"))
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks",
+                                             "interpret"))
 def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size,
-                      max_chunks):
+                      max_chunks, interpret: bool = False):
     p = tile_size * tile_size
+    rw = rays.shape[-1]  # 4 (shared origin) or 8 (per-pixel origin offsets in 4-6)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, rw), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -184,7 +197,8 @@ def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gut_fwd_kernel, tile_size=tile_size),
+        functools.partial(_gut_fwd_kernel, tile_size=tile_size,
+                          per_pixel_origin=rw == 8),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -192,6 +206,7 @@ def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size
         ),
         # [P, C] intermediates exceed the 16 MiB default scoped-vmem budget at tile 32
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(row_start, tile_count, packed, rays)
 
 
@@ -210,6 +225,7 @@ def _gut_bwd_kernel(
     buf, gbuf, sems, gsems,
     *,
     tile_size: int,
+    per_pixel_origin: bool = False,
 ):
     del gzero_ref
     t = pl.program_id(0)
@@ -231,6 +247,8 @@ def _gut_bwd_kernel(
     rdx = rays_ref[0, :, 0:1]
     rdy = rays_ref[0, :, 1:2]
     rdz = rays_ref[0, :, 2:3]
+    do = (rays_ref[0, :, 4:5], rays_ref[0, :, 5:6], rays_ref[0, :, 6:7]) \
+        if per_pixel_origin else None
 
     gr = gout_ref[0, :, 0:1]
     gg = gout_ref[0, :, 1:2]
@@ -263,7 +281,7 @@ def _gut_bwd_kernel(
         t_in = jnp.sum(jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True)
 
         lane_valid = lane < (count - j * CHUNK)
-        a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid)
+        a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do)
         # exclusive lane cumprod via exp(bf16-split MXU log-prefix) — see blend.py
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
         t_excl = t_in * cp_excl
@@ -291,7 +309,8 @@ def _gut_bwd_kernel(
         dc1 = dL_dpow * (-rs["c1"])
         dc2 = dL_dpow * (-rs["c2"])
         dc3 = dL_dpow * (-rs["c3"])
-        gx, gy, gz = row(F_GX), row(F_GY), row(F_GZ)
+        # effective gro (includes the per-pixel M delta_o term when present)
+        gx, gy, gz = rs["g1"], rs["g2"], rs["g3"]
         n1, n2, n3 = rs["n1"], rs["n2"], rs["n3"]
         # dL/dn = gro x dL/dc ; dL/dgro = dL/dc x n
         dn1 = gy * dc3 - gz * dc2
@@ -310,11 +329,24 @@ def _gut_bwd_kernel(
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)  # [1, C]
 
+        if per_pixel_origin:
+            # gro(p) = gro + M delta_o(p): M picks up the dg (x) delta_o outer
+            # product on top of the dv (x) rd one, summed inside the same reduction
+            dox, doy, doz = do
+            m_terms = [
+                dv1 * rdx + dg1 * dox, dv1 * rdy + dg1 * doy, dv1 * rdz + dg1 * doz,
+                dv2 * rdx + dg2 * dox, dv2 * rdy + dg2 * doy, dv2 * rdz + dg2 * doz,
+                dv3 * rdx + dg3 * dox, dv3 * rdy + dg3 * doy, dv3 * rdz + dg3 * doz,
+            ]
+        else:
+            m_terms = [
+                dv1 * rdx, dv1 * rdy, dv1 * rdz,
+                dv2 * rdx, dv2 * rdy, dv2 * rdz,
+                dv3 * rdx, dv3 * rdy, dv3 * rdz,
+            ]
         grads = jnp.concatenate(
-            [
-                red(dv1 * rdx), red(dv1 * rdy), red(dv1 * rdz),
-                red(dv2 * rdx), red(dv2 * rdy), red(dv2 * rdz),
-                red(dv3 * rdx), red(dv3 * rdy), red(dv3 * rdz),
+            [red(x) for x in m_terms]
+            + [
                 red(dg1), red(dg2), red(dg3),
                 g_op,
                 red(w * gr), red(w * gg), red(w * gb), red(w * gd),
@@ -342,17 +374,19 @@ def _gut_bwd_kernel(
         out_dma(1, 0).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks"))
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks",
+                                             "interpret"))
 def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
-                       n_tiles, tile_size, max_chunks):
+                       n_tiles, tile_size, max_chunks, interpret: bool = False):
     p = tile_size * tile_size
+    rw = rays.shape[-1]
     gzero = jnp.zeros(packed.shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, p, 4), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, rw), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, max_chunks), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 8), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -368,13 +402,15 @@ def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gut_bwd_kernel, tile_size=tile_size),
+        functools.partial(_gut_bwd_kernel, tile_size=tile_size,
+                          per_pixel_origin=rw == 8),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         input_output_aliases={7: 0},  # gzero (indices include scalar-prefetch operands)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
         ),
+        interpret=interpret,
     )(row_start, tile_count, packed, rays, chk, out, gout, gzero)
 
 
@@ -388,12 +424,14 @@ def gut_blend_tiles_pallas(
     opacity: jnp.ndarray,  # [N] sigmoid * compensation
     color: jnp.ndarray,  # [N, 3] clamped >= 0
     depth: jnp.ndarray,  # [N]
-    rays: jnp.ndarray,  # [T, P, 4] world ray directions (xyz + pad)
+    rays: jnp.ndarray,  # [T, P, 4] ray dirs (xyz+pad); [T, P, 8] adds per-pixel origin
+    #                     offsets in cols 4-6 (rolling shutter / ORTHO)
     *,
     grid_w: int,
     grid_h: int,
     tile_size: int,
     k_max: int,
+    interpret: bool = False,
 ):
     """Pallas GUT blend. Returns (tile_colors [T,P,3], tile_alpha [T,P], tile_depth)."""
     from .raster import align_segments, segmented_grad_reduce
@@ -407,7 +445,8 @@ def gut_blend_tiles_pallas(
     (row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows) = align_segments(
         inst, n_tiles, max_chunks
     )
-    statics = dict(n_tiles=n_tiles, tile_size=tile_size, max_chunks=max_chunks)
+    statics = dict(n_tiles=n_tiles, tile_size=tile_size, max_chunks=max_chunks,
+                   interpret=interpret)
 
     def _pack(m, g, op, col, dep, gid):
         feats = jnp.concatenate(

@@ -158,12 +158,19 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
                    chunk: int = CHUNK):
     """chunk-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
 
-    Instance-side remap via scatter+cummax scans (a 4M-query searchsorted costs ~400 ms).
-    Returns (row_start [T], count_capped [T], aligned_gid [MAX_AL], qa_emis [MAX_INST],
-    max_aligned, n_rows). qa_emis maps emission slots to aligned slots (sentinel
-    max_aligned = no gradient), letting backwards reduce per-gaussian gradients over
-    CONTIGUOUS sorted segments with a log-depth segmented scan (~7x cheaper than a 4M-row
-    scatter-add, see tools/profiling/profile_scatter2.py)."""
+    Instance-side remap via ONE scatter+cummax scan (a 4M-query searchsorted costs
+    ~400 ms). Returns (row_start [T], count_capped [T], aligned_gid [MAX_AL],
+    qa_emis [MAX_INST], max_aligned, n_rows). qa_emis maps emission slots to aligned
+    slots (sentinel max_aligned = no gradient), letting backwards reduce per-gaussian
+    gradients over CONTIGUOUS sorted segments with a log-depth segmented scan (~7x
+    cheaper than a 4M-row scatter-add, see tools/profiling/profile_scatter2.py).
+
+    Tiles whose count exceeds the `max_chunks * chunk` cap get their overflow instances
+    remapped into the NEXT tile's aligned range (the per-instance cap scan this would
+    need costs a second scatter+cummax pass). That collision corrupts only steps the
+    trainer discards anyway: any tile over k_max <= max_chunks*chunk triggers the
+    rollback-and-redo protocol (trainer.py), and the kernel's own per-tile loop bound
+    stays `count_capped`, so no out-of-range row is ever read."""
     max_inst = inst.sorted_gid.shape[0]
     count_capped = jnp.minimum(inst.tile_count, max_chunks * chunk)
     padded = ((count_capped + chunk - 1) // chunk) * chunk
@@ -174,29 +181,23 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     n_rows = max_aligned // chunk
 
     pidx = jnp.arange(max_inst, dtype=jnp.int32)
-    # per-instance shift = aligned_start[t] - tile_start[t], broadcast by cummax
+    # per-instance shift = aligned_start[t] - tile_start[t], broadcast by cummax.
+    # Overflowing tiles shift by their capped amount, so qa stays < max_aligned even
+    # when instances spill past their own tile's aligned range.
     shift_at = (
         jnp.zeros((max_inst,), jnp.int32)
         .at[inst.tile_start]
         .max(aligned_start - inst.tile_start, mode="drop")
     )
     shift = jax.lax.cummax(shift_at)
-    # per-instance cap boundary: instances at p >= tile_start + capped are dropped
-    cap_end_at = (
-        jnp.zeros((max_inst,), jnp.int32)
-        .at[inst.tile_start]
-        .max(inst.tile_start + count_capped, mode="drop")
-    )
-    cap_end = jax.lax.cummax(cap_end_at)
-    keep = pidx < cap_end
-    qa = jnp.where(keep, pidx + shift, max_aligned)
+    qa = pidx + shift
     aligned_gid = (
         jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
     )
     qa_emis = (
         jnp.full((max_inst,), max_aligned, jnp.int32)
         .at[inst.sorted_emis]
-        .set(jnp.where(keep, qa, max_aligned), mode="drop")
+        .set(qa, mode="drop")
     )
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
@@ -222,7 +223,9 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     ginst_pad = jnp.concatenate(
         [ginst.astype(gather_dtype), jnp.zeros((1, width), gather_dtype)], axis=0
     )
-    ge = ginst_pad[jnp.minimum(qem, max_aligned)].astype(ginst.dtype)  # sentinel -> 0
+    # sentinel -> 0; the segment sums and everything downstream run in f32 regardless
+    # of the gather dtype (ginst may already arrive bf16 from the kernel)
+    ge = ginst_pad[jnp.minimum(qem, max_aligned)].astype(jnp.float32)
 
     blk = 128
     nb = max_inst // blk
@@ -231,7 +234,7 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     step = 1
     while step < blk:
         shifted = jnp.concatenate(
-            [jnp.zeros((nb, step, width), ginst.dtype), xb[:, :-step]], axis=1
+            [jnp.zeros((nb, step, width), jnp.float32), xb[:, :-step]], axis=1
         )
         same = jnp.concatenate(
             [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
@@ -242,13 +245,13 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     last = xb[:, -1]  # [nb, width] trailing-run sum at each block end
     lastrank = rb[:, -1]
     firstrank = rb[:, 0]
-    spans = (firstrank == lastrank).astype(ginst.dtype)  # block is one segment run
+    spans = (firstrank == lastrank).astype(jnp.float32)  # block is one segment run
     eq = jnp.concatenate([jnp.zeros((1,), bool), lastrank[:-1] == firstrank[1:]])
     a_coef = jnp.where(
-        eq, jnp.concatenate([jnp.zeros((1,), ginst.dtype), spans[:-1]]), 0.0
+        eq, jnp.concatenate([jnp.zeros((1,), jnp.float32), spans[:-1]]), 0.0
     )[:, None]
     b_coef = jnp.where(
-        eq[:, None], jnp.concatenate([jnp.zeros((1, width), ginst.dtype), last[:-1]]), 0.0
+        eq[:, None], jnp.concatenate([jnp.zeros((1, width), jnp.float32), last[:-1]]), 0.0
     )
 
     def affine_op(l, r):
@@ -278,6 +281,8 @@ def blend_tiles_pallas(
     chunk: int = CHUNK,
     interpret: bool = False,
     tile_y0=None,  # traced [] int32 global tile-row offset (multi-chip windows)
+    feat_bf16: bool = False,  # bf16 hi/lo feature pack (half the gather + kernel DMA)
+    grad_bf16: bool = True,  # bf16 per-instance grads (same rounding point as before)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-path tile blend.
 
@@ -307,18 +312,37 @@ def blend_tiles_pallas(
               else jnp.asarray(tile_y0, jnp.int32))
 
     def _pack(m2d, con, op, col, dep, gid):
-        feats = jnp.stack(
-            [
-                m2d[:, 0], m2d[:, 1],
-                con[:, 0], con[:, 1], con[:, 2],
-                op,
-                col[:, 0], col[:, 1], col[:, 2],
-                dep,
-            ],
-            axis=1,
-        )  # [N, 10]
-        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, 10] row-gather
-        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - 10)))  # [MAX_AL, 16]
+        if feat_bf16:
+            # hi/lo bf16 split for mean2d/conic (pair reconstructs ~f32 in-kernel),
+            # single bf16 for opacity/color/depth — see blend.py B_* layout
+            def split(x):
+                hi = x.astype(jnp.bfloat16)
+                return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            mxh, mxl = split(m2d[:, 0])
+            myh, myl = split(m2d[:, 1])
+            cah, cal = split(con[:, 0])
+            cbh, cbl = split(con[:, 1])
+            cch, ccl = split(con[:, 2])
+            b = jnp.bfloat16
+            feats = jnp.stack(
+                [mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
+                 op.astype(b), col[:, 0].astype(b), col[:, 1].astype(b),
+                 col[:, 2].astype(b), dep.astype(b)],
+                axis=1,
+            )  # [N, 15] bf16
+        else:
+            feats = jnp.stack(
+                [
+                    m2d[:, 0], m2d[:, 1],
+                    con[:, 0], con[:, 1], con[:, 2],
+                    op,
+                    col[:, 0], col[:, 1], col[:, 2],
+                    dep,
+                ],
+                axis=1,
+            )  # [N, 10]
+        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, *] row-gather
+        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - feats.shape[1])))  # [MAX_AL, 16]
         return packed.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
 
     @jax.custom_vjp
@@ -336,14 +360,15 @@ def blend_tiles_pallas(
     def core_bwd(res, g5):
         packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e, y0 = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
+        gdt = jnp.bfloat16 if grad_bf16 else jnp.float32
         gpacked = blend_backward(packed, rstart, count, chk, out, gout, tile_y0=y0,
-                                 **statics)
+                                 grad_dtype=gdt, **statics)
         # strided feature slices + stack instead of a minor-dim transpose of the whole
         # [R, 16, 128] block (XLA's minor transpose of that shape measured ~330 ms)
         ginst = jnp.stack(
             [gpacked[:, f, :].reshape(-1) for f in range(10)], axis=1
         )  # [MAX_AL, 10]
-        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e)
+        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=gdt)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]

@@ -141,7 +141,7 @@ def default_backend() -> str:
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "k_max", "chunk", "tile_size", "backend",
-        "render_mode",
+        "render_mode", "pack_bf16",
     ),
 )
 def rasterize(
@@ -159,6 +159,7 @@ def rasterize(
     backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
     render_mode: str = "RGB",  # RGB | D | ED | RGB_D | RGB_ED (rasterizer.hpp:25-32)
     mean2d_offset=None,  # [N,2] zeros; pass to read dL/dmean2d for densification
+    pack_bf16: bool = False,  # bf16 hi/lo feature pack on the pallas path (blend.py)
 ) -> RenderOutput:
     """End-to-end differentiable fast-path render of one camera.
 
@@ -195,6 +196,8 @@ def rasterize(
             jnp.maximum(proj.color, 0.0), proj.depth,
             grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
             chunk=chunk if chunk in (128, 256) else 128,  # kernel lane-chunk width
+            feat_bf16=pack_bf16,
+            interpret=jax.devices()[0].platform == "cpu",  # CPU tests run the kernels
         )
         counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)
     else:
