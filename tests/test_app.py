@@ -158,3 +158,23 @@ def test_live_training_viewer(tmp_path):
         assert not t.is_alive(), "trainer did not stop on viewer control"
     finally:
         server.shutdown()
+
+
+def test_viewer_split_compare(dataset, tmp_path):
+    """Model-compare split view (reference: rendering.hpp:42-57): two models from the
+    same camera composited at the divider; the divider column moves with `split`."""
+    from tpu_splat.cli import main
+    from tpu_splat.viewer import ViewerState
+
+    out = tmp_path / "train"
+    main(["-d", str(dataset), "-o", str(out), "-i", "4", "--headless",
+          "--max-cap", "200", "--test-every", "0", "--sh-degree", "1"])
+    ply = out / "splat_final.ply"
+    v = ViewerState(str(ply), 64, 48, compare_path=str(ply))
+    assert v.compare is not None
+    a = v.frame(0.6, -0.25, 1.0, "RGB", split=0.25)
+    b = v.frame(0.6, -0.25, 1.0, "RGB", split=0.75)
+    assert a[:2] == b"\xff\xd8" and b[:2] == b"\xff\xd8"  # valid JPEGs
+    assert a != b  # divider position changes the composite
+    plain = v.frame(0.6, -0.25, 1.0, "RGB")  # no split param -> single model
+    assert plain[:2] == b"\xff\xd8"

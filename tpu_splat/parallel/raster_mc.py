@@ -261,6 +261,7 @@ def render_batch_mc(
                     jnp.maximum(wproj.color, 0.0), wproj.depth,
                     grid_w=gw, grid_h=gh_loc, tile_size=ts, k_max=plan.k_max,
                     chunk=chunk, interpret=interpret, tile_y0=y0,
+                    feat_bf16=getattr(plan, "pack_bf16", False),
                 )
                 img, alpha = assemble_image(tc, ta, gw, gh_loc, ts, gw * ts, gh_loc * ts)
             img = img + (1.0 - alpha)[None] * bg.reshape(3, 1, 1)

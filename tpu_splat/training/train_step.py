@@ -158,6 +158,10 @@ class RasterPlan:
     # multi-chip: per-shard slot budget for the pre-all-gather visible compaction
     # (parallel/raster_mc.py); None = gather the full capacity shard
     gather_budget: Optional[int] = None
+    # bf16 hi/lo feature pack on the Pallas fast path (ops/pallas/blend.py B_* layout):
+    # halves the pack-gather + kernel DMA traffic at <=0.4% forward rounding on
+    # opacity/color/depth (mean2d/conic reconstruct ~f32)
+    pack_bf16: bool = False
 
 
 @dataclass(frozen=True)
@@ -274,7 +278,7 @@ def train_step(
                 sh_deg, bg_color,
                 width=width, height=height,
                 max_instances=plan.max_instances, k_max=plan.k_max, chunk=plan.chunk,
-                tile_size=plan.tile_size,
+                tile_size=plan.tile_size, pack_bf16=plan.pack_bf16,
                 mean2d_offset=mean2d_offset,
             )
         image = out.image

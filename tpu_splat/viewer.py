@@ -35,27 +35,41 @@ body { margin:0; background:#111; color:#ddd; font-family:monospace; }
 #hud { position:fixed; top:8px; left:8px; background:#000a; padding:6px 10px; }
 img { display:block; margin:auto; }
 </style></head><body>
-<div id="hud">drag: orbit &middot; wheel: dolly &middot; d: depth &middot; p: point cloud</div>
+<div id="hud">drag: orbit &middot; wheel: dolly &middot; d: depth &middot; p: point cloud
+ &middot; compare: drag the divider</div>
 <img id="view" width="__W__" height="__H__"/>
 <script>
 let theta = 0.6, phi = -0.25, radius = 1.0, mode = "RGB", busy = false, dirty = true;
+let compare = false, split = 0.5;  // model-compare split view (draggable divider)
 const img = document.getElementById("view");
+fetch('/info').then(r => r.json()).then(s => { compare = !!s.compare; dirty = true; })
+  .catch(() => {});
 function refresh() {
   if (busy || !dirty) { return; }
   busy = true; dirty = false;
   img.src = `/frame?theta=${theta.toFixed(4)}&phi=${phi.toFixed(4)}` +
-            `&radius=${radius.toFixed(4)}&mode=${mode}&t=${Date.now()}`;
+            `&radius=${radius.toFixed(4)}&mode=${mode}` +
+            (compare ? `&split=${split.toFixed(3)}` : ``) + `&t=${Date.now()}`;
   img.onload = () => { busy = false; };
   img.onerror = () => { busy = false; };
 }
 setInterval(refresh, 60);
-let drag = null;
-img.onmousedown = (e) => { drag = [e.clientX, e.clientY]; };
-window.onmouseup = () => { drag = null; };
+let drag = null, dragSplit = false;
+img.onmousedown = (e) => {
+  const fx = (e.clientX - img.getBoundingClientRect().left) / img.width;
+  dragSplit = compare && Math.abs(fx - split) < 0.02;  // grab near the divider
+  drag = [e.clientX, e.clientY];
+};
+window.onmouseup = () => { drag = null; dragSplit = false; };
 window.onmousemove = (e) => {
   if (!drag) return;
-  theta += (e.clientX - drag[0]) * 0.01;
-  phi = Math.max(-1.4, Math.min(1.4, phi + (e.clientY - drag[1]) * 0.01));
+  if (dragSplit) {
+    split = Math.max(0, Math.min(1,
+      (e.clientX - img.getBoundingClientRect().left) / img.width));
+  } else {
+    theta += (e.clientX - drag[0]) * 0.01;
+    phi = Math.max(-1.4, Math.min(1.4, phi + (e.clientY - drag[1]) * 0.01));
+  }
   drag = [e.clientX, e.clientY]; dirty = true;
 };
 window.onwheel = (e) => { radius *= Math.exp(e.deltaY * 0.001); dirty = true; };
@@ -69,8 +83,13 @@ dirty = true;
 
 
 class ViewerState:
-    def __init__(self, model_path: str, width: int, height: int):
+    def __init__(self, model_path: str, width: int, height: int,
+                 compare_path: str | None = None):
         self.state = load_model(model_path)
+        # model-compare split view (reference: include/rendering/rendering.hpp:42-57):
+        # a second model rendered from the SAME camera, composited at a draggable
+        # divider column — the standard before/after or prune/full comparison workflow
+        self.compare = load_model(compare_path) if compare_path else None
         self.width = width
         self.height = height
         means = np.asarray(self.state.means)[np.asarray(self.state.alive)]
@@ -80,22 +99,32 @@ class ViewerState:
         )
         self.lock = threading.Lock()  # one render at a time on the chip
 
-    def frame(self, theta: float, phi: float, radius: float, mode: str) -> bytes:
+    def _render_one(self, state, w2c, mode: str) -> np.ndarray:
+        pc = mode == "PC"
+        out = render_view(state, w2c, self.width, self.height,
+                          render_mode="RGB" if pc else mode, point_cloud=pc)
+        img = np.clip(np.asarray(out.image), 0, 1)
+        if mode not in ("RGB", "PC") and out.depth is not None:
+            d = np.asarray(out.depth)
+            dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
+            img = np.concatenate([img[:, :, : self.width // 2],
+                                  np.repeat(dn[None], 3, 0)[:, :, self.width // 2:]],
+                                 axis=2)
+        return img
+
+    def frame(self, theta: float, phi: float, radius: float, mode: str,
+              split: float | None = None) -> bytes:
         eye = self.center + self.base_radius * radius * np.array(
             [math.cos(theta) * math.cos(phi), math.sin(phi), math.sin(theta) * math.cos(phi)]
         )
         w2c = look_at(eye.astype(np.float32), self.center.astype(np.float32))
         with self.lock:
-            pc = mode == "PC"
-            out = render_view(self.state, w2c, self.width, self.height,
-                              render_mode="RGB" if pc else mode, point_cloud=pc)
-            img = np.clip(np.asarray(out.image), 0, 1)
-            if mode not in ("RGB", "PC") and out.depth is not None:
-                d = np.asarray(out.depth)
-                dn = (d - d.min()) / max(float(d.max() - d.min()), 1e-9)
-                img = np.concatenate([img[:, :, : self.width // 2],
-                                      np.repeat(dn[None], 3, 0)[:, :, self.width // 2:]],
-                                     axis=2)
+            img = self._render_one(self.state, w2c, mode)
+            if self.compare is not None and split is not None:
+                c = int(np.clip(split, 0.0, 1.0) * self.width)
+                img_b = self._render_one(self.compare, w2c, mode)
+                img = np.concatenate([img[:, :, :c], img_b[:, :, c:]], axis=2)
+                img[:, :, max(c - 1, 0) : min(c + 1, self.width)] = 1.0  # divider
         from PIL import Image
 
         arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
@@ -121,11 +150,13 @@ def make_handler(viewer: ViewerState):
                 self.wfile.write(body)
             elif url.path == "/frame":
                 q = parse_qs(url.query)
+                split = q.get("split", [None])[0]
                 jpg = viewer.frame(
                     float(q.get("theta", ["0"])[0]),
                     float(q.get("phi", ["-0.25"])[0]),
                     float(q.get("radius", ["1"])[0]),
                     q.get("mode", ["RGB"])[0],
+                    split=None if split is None else float(split),
                 )
                 self.send_response(200)
                 self.send_header("Content-Type", "image/jpeg")
@@ -138,6 +169,7 @@ def make_handler(viewer: ViewerState):
                 self.wfile.write(json.dumps({
                     "n_alive": int(np.asarray(viewer.state.alive).sum()),
                     "width": viewer.width, "height": viewer.height,
+                    "compare": viewer.compare is not None,
                 }).encode())
             else:
                 self.send_response(404)
@@ -147,10 +179,11 @@ def make_handler(viewer: ViewerState):
 
 
 def serve(model_path: str, port: int = 8080, width: int = 960, height: int = 540,
-          host: str = "127.0.0.1"):
-    viewer = ViewerState(model_path, width, height)
+          host: str = "127.0.0.1", compare_path: str | None = None):
+    viewer = ViewerState(model_path, width, height, compare_path=compare_path)
     server = ThreadingHTTPServer((host, port), make_handler(viewer))
-    log.info("viewer serving %s on http://%s:%d", model_path, host, port)
+    log.info("viewer serving %s%s on http://%s:%d", model_path,
+             f" vs {compare_path}" if compare_path else "", host, port)
     server.serve_forever()
 
 
@@ -327,8 +360,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (default loopback; 0.0.0.0 to expose)")
+    p.add_argument("--compare", default=None,
+                   help="second PLY/SOG model: split view with a draggable divider")
     args = p.parse_args(argv)
-    serve(args.model, args.port, args.width, args.height, host=args.host)
+    serve(args.model, args.port, args.width, args.height, host=args.host,
+          compare_path=args.compare)
     return 0
 
 
