@@ -108,10 +108,51 @@ def _lane_exclusive_cumsum_f32(x, u_strict):
     """Exclusive lane prefix-sum via MXU at f32 fidelity: the 0/1 triangular RHS is
     EXACT in bf16, so splitting the LHS into hi + lo bf16 halves and summing two
     DEFAULT-precision matmuls reproduces f32 (the only error source is the LHS
-    truncation) at 1/3 the passes of Precision.HIGHEST."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = x - hi
-    return _mm(hi, u_strict) + _mm(lo, u_strict)
+    truncation) at 1/3 the passes of Precision.HIGHEST.
+
+    At chunk > 128 the triangular matmul is block-decomposed: an exclusive prefix
+    within each 128-lane half plus the first half's total broadcast into the second —
+    half the MXU flops of the full [C, C] triangle (prefix cost scales as C per lane,
+    the split makes it 128 per lane)."""
+    c = x.shape[-1]
+    if u_strict.shape[0] == c or c <= 128:
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = x - hi
+        return _mm(hi, u_strict) + _mm(lo, u_strict)
+    assert c % 128 == 0
+    parts = []
+    run = None  # [P, 1] running total of preceding halves
+    for i in range(c // 128):
+        xi = x[:, i * 128 : (i + 1) * 128]
+        hi = xi.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = xi - hi
+        ei = _mm(hi, u_strict) + _mm(lo, u_strict)
+        if run is not None:
+            ei = ei + run
+        run = ei[:, 127:128] + xi[:, 127:128]  # total through this half
+        parts.append(ei)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _lane_strict_suffix_sum(u, s_lower):
+    """Strictly-later-lane suffix sum (DEFAULT precision), block-decomposed at
+    chunk > 128 like `_lane_exclusive_cumsum_f32` (later halves' totals broadcast
+    into earlier halves)."""
+    c = u.shape[-1]
+    if s_lower.shape[0] == c or c <= 128:
+        return _mm(u, s_lower)
+    assert c % 128 == 0
+    nblk = c // 128
+    parts = [None] * nblk
+    run = None  # [P, 1] total of strictly-later halves
+    for i in range(nblk - 1, -1, -1):
+        ui = u[:, i * 128 : (i + 1) * 128]
+        si = _mm(ui, s_lower)
+        if run is not None:
+            si = si + run
+        run = si[:, 0:1] + ui[:, 0:1]
+        parts[i] = si
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _pixel_coords(t, grid_w: int, tile_size: int, p: int, tile_y0=0):
@@ -210,6 +251,7 @@ def _fwd_kernel(
     tile_size: int,
     chunk: int,
     feat_bf16: bool = False,
+    block_scan: bool = True,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -221,7 +263,7 @@ def _fwd_kernel(
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, maxc), 1)
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
     lane = _lane_iota_row(chunk)
-    u_strict = _strict_upper(chunk)
+    u_strict = _strict_upper(min(chunk, 128) if block_scan else chunk)
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -292,7 +334,8 @@ def _fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk", "interpret")
+    jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
+                              "interpret", "block_scan")
 )
 def blend_forward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -306,6 +349,7 @@ def blend_forward(
     chunk: int = CHUNK,
     interpret: bool = False,
     tile_y0=None,  # traced [] int32 tile-row offset (multi-chip windows); None = 0
+    block_scan: bool = True,  # 128-block-decomposed MXU prefix at chunk > 128
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
@@ -330,7 +374,7 @@ def blend_forward(
     )
     out, chk = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-                          feat_bf16=feat_bf16),
+                          feat_bf16=feat_bf16, block_scan=block_scan),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -361,6 +405,8 @@ def _bwd_kernel(
     tile_size: int,
     chunk: int,
     feat_bf16: bool = False,
+    red_sum: bool = False,
+    block_scan: bool = True,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -379,8 +425,8 @@ def _bwd_kernel(
     px, py = _pixel_coords(t, grid_w, tile_size, p, y0_ref[0])
     lane = _lane_iota_row(chunk)
     chk_col = jax.lax.broadcasted_iota(jnp.int32, (p, chk_ref.shape[2]), 1)
-    u_strict = _strict_upper(chunk)
-    s_lower = _strict_lower(chunk)
+    u_strict = _strict_upper(min(chunk, 128) if block_scan else chunk)
+    s_lower = _strict_lower(min(chunk, 128) if block_scan else chunk)
 
     gr = gout_ref[0, :, 0:1]  # [P, 1]
     gg = gout_ref[0, :, 1:2]
@@ -441,7 +487,7 @@ def _bwd_kernel(
         # unbiased; bounded by the 2e-2 TPU parity tests and the e2e PSNR floor.
         # (A hi/lo split here would double the suffix matmul cost for a path whose
         # accuracy is gated by the gather rounding anyway; GUT uses its own kernels.)
-        sfx = _mm(u, s_lower)  # [P, C]: sum over lanes i > c
+        sfx = _lane_strict_suffix_sum(u, s_lower)  # [P, C]: sum over lanes i > c
         total_u = sfx[:, 0:1] + u[:, 0:1]
         suffix = sfx + s_carry  # strictly-later gaussians (+ later chunks)
 
@@ -473,9 +519,16 @@ def _bwd_kernel(
             ],
             axis=1,
         )  # [P, 10*C]
-        red10 = jax.lax.dot_general(
-            ones_p, stacked, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [1, 10*C]
+        if red_sum:
+            # sublane tree-reduce variant: the [1, P] x [P, 10C] matmul uses 1 of the
+            # MXU's 128 result rows; whether Mosaic's reduce or the M=1 matmul wins is
+            # an empirical question (A/B'd on hardware, tools/profiling)
+            red10 = jnp.sum(stacked, axis=0, keepdims=True)  # [1, 10*C]
+        else:
+            red10 = jax.lax.dot_general(
+                ones_p, stacked, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, 10*C]
 
         grads = jnp.concatenate(
             [red10[:, i * chunk : (i + 1) * chunk] for i in range(10)]
@@ -510,7 +563,7 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
-                              "interpret", "grad_dtype")
+                              "interpret", "grad_dtype", "red_sum", "block_scan")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -528,6 +581,8 @@ def blend_backward(
     interpret: bool = False,
     tile_y0=None,
     grad_dtype=jnp.float32,  # bf16 = pre-reduction rounding, half the output DMA
+    red_sum: bool = False,
+    block_scan: bool = True,
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
     stay zero (zero-init via input-output aliasing)."""
@@ -556,7 +611,7 @@ def blend_backward(
     )
     gpacked = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-                          feat_bf16=feat_bf16),
+                          feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)

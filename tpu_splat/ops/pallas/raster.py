@@ -50,7 +50,7 @@ class SortedInstances(NamedTuple):
 
 def build_sorted_instances(
     proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int,
-    tile_y0=0,
+    tile_y0=0, packed_key_sort: bool = True,
 ) -> SortedInstances:
     """Instance emission + (tile, depth) two-key sort, gather-minimal.
 
@@ -125,13 +125,35 @@ def build_sorted_instances(
     valid = in_range & contrib
     tile_id = jnp.where(valid, tile_y * grid_w + tile_x, n_tiles)
 
-    # 4. two-key sort (tile id, depth): per-tile front-to-back without a pre-sort;
-    # stability breaks depth ties by emission (= gaussian id) order, matching the
-    # XLA path's stable argsort tiebreak
-    depth_key = jnp.where(valid, r[:, G_DEPTH], jnp.inf)
-    sorted_tile_id, _, sorted_gid, sorted_emis = jax.lax.sort(
-        (tile_id, depth_key, pos, inst_id), num_keys=2, is_stable=True
-    )
+    # 4. (tile id, depth) sort: per-tile front-to-back without a pre-sort; stability
+    # breaks depth ties by emission (= gaussian id) order, matching the XLA path's
+    # stable argsort tiebreak. When tile + depth bits fit one int32, the two sort keys
+    # pack into a single key — tile id in the high bits, the top bits of the POSITIVE
+    # f32 depth's bit pattern (monotone for positive floats) below it; with >= 16 depth
+    # bits that keeps 8 exponent + >= 7 mantissa bits (<= 2^-7 relative depth
+    # truncation, ties broken stably) and drops one full 4-byte key lane from the sort
+    # (the reference's radix sort packs tile|depth into one 64-bit key the same way,
+    # fastgs/rasterization/src/forward.cu:15-199).
+    tb = max(int(n_tiles).bit_length(), 1)  # bits for tile id incl. sentinel n_tiles
+    db = 31 - tb
+    if packed_key_sort and db >= 16:
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(r[:, G_DEPTH], 0.0), jnp.int32
+        )
+        key = jnp.where(
+            valid,
+            (tile_id << db) | jax.lax.shift_right_logical(depth_bits, 31 - db),
+            jnp.int32(n_tiles) << db,
+        )
+        sorted_key, sorted_gid, sorted_emis = jax.lax.sort(
+            (key, pos, inst_id), num_keys=1, is_stable=True
+        )
+        sorted_tile_id = jax.lax.shift_right_logical(sorted_key, db)
+    else:
+        depth_key = jnp.where(valid, r[:, G_DEPTH], jnp.inf)
+        sorted_tile_id, _, sorted_gid, sorted_emis = jax.lax.sort(
+            (tile_id, depth_key, pos, inst_id), num_keys=2, is_stable=True
+        )
 
     # 5. per-tile ranges (few-query searchsorted is cheap; the 4M-query variant is not)
     tiles = jnp.arange(n_tiles + 1, dtype=jnp.int32)
