@@ -153,6 +153,10 @@ def test_live_training_viewer(tmp_path):
         jpg = urllib.request.urlopen(
             "http://127.0.0.1:18973/frame?theta=0.3&phi=-0.2&radius=1", timeout=60).read()
         assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+        jpg2 = urllib.request.urlopen(
+            "http://127.0.0.1:18973/frame?theta=0.3&phi=-0.2&radius=1&overlay=1",
+            timeout=60).read()
+        assert jpg2[:2] == b"\xff\xd8"  # axes/grid + camera-frustum overlay path
         urllib.request.urlopen("http://127.0.0.1:18973/control?action=stop", timeout=5)
         t.join(timeout=120)
         assert not t.is_alive(), "trainer did not stop on viewer control"

@@ -183,22 +183,69 @@ def _feat_rows(data, feat_bf16: bool):
             f(F_OP), f(F_R), f(F_G), f(F_B), f(F_D))
 
 
-def _chunk_alphas(rows, px, py, lane_valid):
+def _chunk_alphas(rows, px, py, lane_valid, sigma=None):
     """Per-(pixel, gaussian) alpha + masks for one chunk.
 
     rows = _feat_rows(...); px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
     Returns (a, valid, one_m) each [P, 128]; a has invalid entries zeroed.
-    """
+    `sigma` may be precomputed (see `_sigma_mm`)."""
     mx, my, ca, cb, cc, op = rows[:6]
 
-    dx = mx - px  # [P, 128]
-    dy = my - py
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    # sigma >= 0 guards against degenerate conics (rasterization_config.h:11-30); the
+    # matmul-sigma path needs a tolerance: its ~1e-3 rounding must not flip the test at
+    # gaussian centers (exact sigma ~ 0+), where contributions are strongest
+    sig_floor = 0.0
+    if sigma is None:
+        dx = mx - px  # [P, 128]
+        dy = my - py
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    else:
+        sig_floor = -0.01
     gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
     alpha = jnp.minimum(op * gauss, MAX_FRAGMENT_ALPHA)
-    valid = (sigma >= 0.0) & (alpha >= MIN_ALPHA) & lane_valid
+    valid = (sigma >= sig_floor) & (alpha >= MIN_ALPHA) & lane_valid
     a = jnp.where(valid, alpha, 0.0)
     return a, valid, 1.0 - a
+
+
+def _hl(x):
+    hi = x.astype(jnp.bfloat16)
+    return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def _pixel_basis(px, py, tile_cx, tile_cy):
+    """[P, 6] quadratic pixel basis (1, x, y, x^2, xy, y^2) in TILE-LOCAL coordinates,
+    hi/lo bf16 split. Tile-local centering bounds every basis/coefficient product by
+    ~O(power_threshold + conic * tile_radius^2), keeping the 3-matmul hi/lo product
+    error ~2^-17 relative (see `_sigma_mm`)."""
+    x = px - tile_cx  # [P, 1]
+    y = py - tile_cy
+    b = jnp.concatenate([jnp.ones_like(x), x, y, x * x, x * y, y * y], axis=-1)  # [P, 6]
+    return _hl(b)
+
+
+def _sigma_mm(bh, bl, rows, tile_cx, tile_cy):
+    """sigma(p, c) as ONE quadratic-form matmul: [P, 6] pixel basis x [6, C] per-gaussian
+    coefficients. Moves the ~7 VPU passes of the (dx, dy, sigma) evaluation onto the MXU
+    (3 DEFAULT-precision bf16 matmuls: hh + hl + lh; the omitted ll term and the hi/lo
+    input truncation bound the error at ~2^-17 relative of the largest expanded term,
+    which tile-local centering keeps ~O(100) -> absolute sigma error ~1e-3)."""
+    mx, my, ca, cb, cc = rows[:5]
+    mxl = mx - tile_cx  # [1, C]
+    myl = my - tile_cy
+    g = jnp.concatenate(
+        [
+            0.5 * (ca * mxl * mxl + cc * myl * myl) + cb * mxl * myl,
+            -(ca * mxl + cb * myl),
+            -(cc * myl + cb * mxl),
+            0.5 * ca,
+            cb,
+            0.5 * cc,
+        ],
+        axis=0,
+    )  # [6, C]
+    gh, gl = _hl(g)
+    return _mm(bh, gh) + _mm(bh, gl) + _mm(bl, gh)
 
 
 def _exclusive_from_inclusive_prod(cp_incl):
@@ -252,6 +299,7 @@ def _fwd_kernel(
     chunk: int,
     feat_bf16: bool = False,
     block_scan: bool = True,
+    sigma_mm: bool = False,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -264,6 +312,11 @@ def _fwd_kernel(
     chk_s[:] = jnp.zeros((p, maxc), jnp.float32)  # unvisited chunks read as dead
     lane = _lane_iota_row(chunk)
     u_strict = _strict_upper(min(chunk, 128) if block_scan else chunk)
+    if sigma_mm:
+        tile_cx = ((t % grid_w) * tile_size + tile_size // 2).astype(jnp.float32)
+        tile_cy = ((t // grid_w + y0_ref[0]) * tile_size + tile_size // 2).astype(
+            jnp.float32)
+        bh, bl = _pixel_basis(px, py, tile_cx, tile_cy)
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -293,7 +346,8 @@ def _fwd_kernel(
 
         lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
         rows = _feat_rows(data, feat_bf16)
-        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid)
+        sig = _sigma_mm(bh, bl, rows, tile_cx, tile_cy) if sigma_mm else None
+        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
         # exclusive cumprod via exp(bf16-split MXU prefix of logs): two DEFAULT-precision
         # matmuls reproduce f32 (see _lane_exclusive_cumsum_f32). A HIGHEST-precision
         # variant measured SLOWER than the rolls (87 vs 48 ms); the split form is 3x
@@ -335,7 +389,7 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
-                              "interpret", "block_scan")
+                              "interpret", "block_scan", "sigma_mm")
 )
 def blend_forward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -350,6 +404,7 @@ def blend_forward(
     interpret: bool = False,
     tile_y0=None,  # traced [] int32 tile-row offset (multi-chip windows); None = 0
     block_scan: bool = True,  # 128-block-decomposed MXU prefix at chunk > 128
+    sigma_mm: bool = False,  # quadratic-form sigma on the MXU (A/B'd on hardware)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
@@ -374,7 +429,7 @@ def blend_forward(
     )
     out, chk = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-                          feat_bf16=feat_bf16, block_scan=block_scan),
+                          feat_bf16=feat_bf16, block_scan=block_scan, sigma_mm=sigma_mm),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -407,6 +462,7 @@ def _bwd_kernel(
     feat_bf16: bool = False,
     red_sum: bool = False,
     block_scan: bool = True,
+    approx_recip: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -491,7 +547,12 @@ def _bwd_kernel(
         total_u = sfx[:, 0:1] + u[:, 0:1]
         suffix = sfx + s_carry  # strictly-later gaussians (+ later chunks)
 
-        dL_da = usef * (t_excl * cdotg - suffix / one_m)
+        if approx_recip:
+            # VPU divides are multi-pass; the approx reciprocal (~2^-12 relative) is
+            # well inside the path's bf16 error budget (see suffix-sum comment above)
+            dL_da = usef * (t_excl * cdotg - suffix * pl.reciprocal(one_m, approx=True))
+        else:
+            dL_da = usef * (t_excl * cdotg - suffix / one_m)
 
         # chain rule through alpha = min(op * exp(-max(sigma, 0)), 0.999)
         dx = mx - px
@@ -563,7 +624,8 @@ def _bwd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
-                              "interpret", "grad_dtype", "red_sum", "block_scan")
+                              "interpret", "grad_dtype", "red_sum", "block_scan",
+                              "approx_recip")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -583,6 +645,7 @@ def blend_backward(
     grad_dtype=jnp.float32,  # bf16 = pre-reduction rounding, half the output DMA
     red_sum: bool = False,
     block_scan: bool = True,
+    approx_recip: bool = False,
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
     stay zero (zero-init via input-output aliasing)."""
@@ -611,7 +674,8 @@ def blend_backward(
     )
     gpacked = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-                          feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan),
+                          feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
+                          approx_recip=approx_recip),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)

@@ -163,6 +163,31 @@ def draw_world_overlay(img: np.ndarray, w2c: np.ndarray, fx: float, fy: float,
         seg(center + np.array([-g, 0, o]), center + np.array([g, 0, o]), (0.35, 0.35, 0.35))
 
 
+def draw_camera_frustums(img: np.ndarray, w2c_view: np.ndarray, fx: float, fy: float,
+                         cx: float, cy: float, cameras, size: float) -> None:
+    """Dataset-camera frustum wireframes (reference: camera frustums in the GL engine,
+    rendering.hpp:42-57) — each camera drawn as a 5-corner pyramid of depth `size`."""
+    def project(pts):
+        c = (w2c_view[:3, :3] @ pts.T + w2c_view[:3, 3:4]).T
+        z = np.maximum(c[:, 2], 1e-6)
+        return np.stack([fx * c[:, 0] / z + cx, fy * c[:, 1] / z + cy], 1), c[:, 2] > 0.05
+
+    for cam in cameras:
+        w2c_i = np.asarray(cam.world_view_transform, np.float32)
+        r = w2c_i[:3, :3]
+        eye = -r.T @ w2c_i[:3, 3]
+        # image-plane corners at depth `size` for a ~55 deg half-spread pyramid
+        corners = np.array([[sx * 0.5, sy * 0.35, 1.0]
+                            for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1))])
+        world = eye[None] + (r.T @ (corners.T * size)).T
+        uv, ok = project(np.concatenate([eye[None], world]))
+        if not ok.all():
+            continue
+        for i in range(4):
+            _draw_segment(img, uv[0], uv[1 + i], (1.0, 0.85, 0.2))
+            _draw_segment(img, uv[1 + i], uv[1 + (i + 1) % 4], (1.0, 0.85, 0.2))
+
+
 class SceneNode:
     """One model in the viewer's scene graph (reference: src/visualizer/scene/ — multiple
     loaded PLYs with per-node visibility and transform)."""
@@ -406,7 +431,7 @@ class TrainingViewerState:
         self.width = width
         self.height = height
         self.min_interval_s = min_interval_s
-        self._last = (0.0, None)  # (time, jpeg) — throttle chip work
+        self._last = (0.0, None, None)  # (time, key, jpeg) — throttle chip work
         self.lock = threading.Lock()
         splat = trainer.state.splat
         means = np.asarray(splat.means)[np.asarray(splat.alive)]
@@ -438,13 +463,16 @@ class TrainingViewerState:
         if emit is not None:
             ev.emit(emit())
 
-    def frame(self, theta: float, phi: float, radius: float, mode: str) -> bytes:
+    def frame(self, theta: float, phi: float, radius: float, mode: str,
+              overlay: bool = False) -> bytes:
         import time as _t
 
         with self.lock:
             now = _t.time()
-            if self._last[1] is not None and now - self._last[0] < self.min_interval_s:
-                return self._last[1]
+            key = (round(theta, 4), round(phi, 4), round(radius, 4), mode, overlay)
+            if (self._last[2] is not None and self._last[1] == key
+                    and now - self._last[0] < self.min_interval_s):
+                return self._last[2]
             splat = self.trainer.state.splat  # immutable snapshot
             eye = self.center + self.base_radius * radius * np.array(
                 [math.cos(theta) * math.cos(phi), math.sin(phi),
@@ -456,6 +484,14 @@ class TrainingViewerState:
             out = render_view(splat, w2c, self.width, self.height,
                               render_mode="RGB" if pc else mode, point_cloud=pc)
             img = np.clip(np.asarray(out.image), 0, 1)
+            if overlay:
+                f = 0.5 * self.width / math.tan(math.radians(60.0) / 2)
+                draw_world_overlay(img, w2c, f, f, self.width / 2, self.height / 2,
+                                   self.center, self.base_radius)
+                draw_camera_frustums(
+                    img, w2c, f, f, self.width / 2, self.height / 2,
+                    getattr(self.trainer.train_dataset, "cameras", []),
+                    0.08 * self.base_radius)
             from .utils import events as ev
 
             ev.emit(ev.FrameRendered(width=self.width, height=self.height,
@@ -466,7 +502,7 @@ class TrainingViewerState:
             bio = io.BytesIO()
             Image.fromarray(arr).save(bio, format="JPEG", quality=88)
             jpg = bio.getvalue()
-            self._last = (now, jpg)
+            self._last = (now, key, jpg)
             return jpg
 
 
@@ -494,6 +530,7 @@ def make_live_handler(viewer: "TrainingViewerState"):
                     float(q.get("phi", ["-0.25"])[0]),
                     float(q.get("radius", ["1"])[0]),
                     q.get("mode", ["RGB"])[0],
+                    overlay=q.get("overlay", ["0"])[0] == "1",
                 )
                 self.send_response(200)
                 self.send_header("Content-Type", "image/jpeg")
