@@ -180,3 +180,42 @@ def test_pallas_interpret_matches_xla(pack_bf16):
     for gx, gp in zip(g_x, g_p):
         scale = float(jnp.max(jnp.abs(gx))) + 1e-12
         assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
+
+
+def test_blend_kernel_variants_parity():
+    """Kernel-level A/B variants (hardware-tuning flags) against the default path, in
+    interpret mode: sigma_mm (quadratic-form MXU sigma, budget ~1e-3), approx_recip
+    (~0.8% on grads), block_scan on/off (exact decomposition)."""
+    from tpu_splat.ops.pallas.blend import NFEAT, blend_backward, blend_forward
+
+    rng = np.random.default_rng(3)
+    TS, GW, GH, CH = 16, 3, 2, 256
+    n_tiles, P, n_rows, max_chunks = GW * GH, TS * TS, 12, 2
+    N = n_rows * CH
+    s = rng.uniform(1.0, 4.0, N)
+    ca = 1 / (s * s)
+    cc = 1 / (s * s * rng.uniform(0.5, 2.0, N))
+    feats = np.stack(
+        [rng.uniform(0, GW * TS, N), rng.uniform(0, GH * TS, N), ca,
+         rng.uniform(-0.3, 0.3, N) * np.sqrt(ca * cc), cc,
+         rng.uniform(0.1, 1.0, N)] + [rng.uniform(0, 1, N)] * 3
+        + [rng.uniform(1, 10, N)], 1).astype(np.float32)
+    packed = np.zeros((n_rows, NFEAT, CH), np.float32)
+    packed[:, :10, :] = feats.reshape(n_rows, CH, 10).transpose(0, 2, 1)
+    packed = jnp.asarray(packed)
+    row_start = jnp.asarray([0, 2, 4, 6, 8, 10], jnp.int32)
+    count = jnp.asarray([512, 512, 500, 512, 100, 300], jnp.int32)
+    kw = dict(n_tiles=n_tiles, grid_w=GW, tile_size=TS, max_chunks=max_chunks,
+              chunk=CH, interpret=True)
+
+    o0, c0 = blend_forward(packed, row_start, count, **kw)
+    o1, _ = blend_forward(packed, row_start, count, sigma_mm=True, **kw)
+    assert float(jnp.max(jnp.abs(o0 - o1)[:, :, :4])) < 2e-3
+
+    gout = jnp.asarray(rng.normal(0, 0.3, (n_tiles, P, 8)).astype(np.float32))
+    g0 = blend_backward(packed, row_start, count, c0, o0, gout, **kw)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    for extra in (dict(approx_recip=True), dict(block_scan=False), dict(red_sum=True)):
+        g1 = blend_backward(packed, row_start, count, c0, o0, gout, **extra, **kw)
+        tol = 2e-2 if "approx_recip" in extra else 1e-5
+        assert float(jnp.max(jnp.abs(g0 - g1))) / scale < tol, extra

@@ -124,6 +124,11 @@ for bf16 in (False, True):
                   blend_forward(pk + x.astype(pk.dtype), rs, cc, block_scan=_bs,
                                 **statics)[0][:, :, :4]).sum() * 1e-9,
               jnp.float32(0), packed, row_start, count_capped)
+    chain(f"fwd [{tag}] sigma_mm",
+          lambda x, pk, rs, cc: jnp.square(
+              blend_forward(pk + x.astype(pk.dtype), rs, cc, sigma_mm=True,
+                            **statics)[0][:, :, :4]).sum() * 1e-9,
+          jnp.float32(0), packed, row_start, count_capped)
 
     out, chk = jax.tree.map(jax.device_put, jax.jit(functools.partial(
         blend_forward, **statics))(packed, row_start, count_capped))
@@ -138,6 +143,12 @@ for bf16 in (False, True):
                                      grad_dtype=jnp.bfloat16, **statics)
                       .astype(jnp.float32)).sum() * 1e-9,
                   jnp.float32(0), packed, row_start, count_capped, chk, out, gout)
+    chain(f"bwd [{tag}] approx_recip",
+          lambda x, pk, rs, cc, ck, o, g: jnp.square(
+              blend_backward(pk + x.astype(pk.dtype), rs, cc, ck, o, g,
+                             approx_recip=True, grad_dtype=jnp.bfloat16, **statics)
+              .astype(jnp.float32)).sum() * 1e-9,
+          jnp.float32(0), packed, row_start, count_capped, chk, out, gout)
 
     # block_scan numerics vs full triangle (hardware)
     @functools.partial(jax.jit, static_argnames=())
