@@ -104,12 +104,12 @@ def main():
 
     for _ in range(warmup):
         ts, stats = train_step(ts, *args, **kwargs)
-    jax.block_until_ready(stats.loss)
+    _ = float(stats.loss)  # device_get: the only true sync through the tunnel
 
     t0 = time.perf_counter()
     for _ in range(iters):
         ts, stats = train_step(ts, *args, **kwargs)
-    jax.block_until_ready(stats.loss)
+    _ = float(stats.loss)  # device_get: the only true sync through the tunnel
     dt = time.perf_counter() - t0
 
     iters_per_s = iters / dt
@@ -132,12 +132,12 @@ def main():
         return means + 0.0 * out.image.mean()
 
     m = render(splat_r.means)
-    jax.block_until_ready(m)
+    _ = float(m[0, 0])  # device_get sync
     t0 = time.perf_counter()
     r_iters = 20
     for _ in range(r_iters):
         m = render(m)
-    jax.block_until_ready(m)
+    _ = float(m[0, 0])  # device_get sync
     render_fps = r_iters / (time.perf_counter() - t0)
     render_mpix = render_fps * width * height / 1e6
 
@@ -164,12 +164,12 @@ def main():
         return m + 1e-9 * jax.grad(loss)(m)
 
     m = gut_step(splat_r.means)
-    jax.block_until_ready(m)
+    _ = float(m[0, 0])  # device_get sync
     t0 = time.perf_counter()
     g_iters = 8
     for _ in range(g_iters):
         m = gut_step(m)
-    jax.block_until_ready(m)
+    _ = float(m[0, 0])  # device_get sync
     gut_fwdbwd_per_s = g_iters / (time.perf_counter() - t0)
 
     # ---- mesh lane: the multi-chip product path on a 1-chip mesh vs the plain step.
@@ -195,12 +195,12 @@ def main():
                total_iterations=30_000)
     for _ in range(warmup):
         ts_m, mstats = mstep(ts_m, *margs, **mkw)
-    jax.block_until_ready(mstats.loss)
+    _ = float(mstats.loss)  # device_get sync
     t0 = time.perf_counter()
     m_iters = 10
     for _ in range(m_iters):
         ts_m, mstats = mstep(ts_m, *margs, **mkw)
-    jax.block_until_ready(mstats.loss)
+    _ = float(mstats.loss)  # device_get sync
     mesh_iters_per_s = m_iters / (time.perf_counter() - t0)
     mesh_overhead = iters_per_s / mesh_iters_per_s - 1.0
     # projected per-chip ICI bytes of the compacted feature-table all-gather at g chips:
