@@ -194,3 +194,41 @@ def test_shard_map_single_chip():
         width=W, height=H, plan=plan, batch=1,
     )
     np.testing.assert_allclose(np.asarray(imgs[0]), np.asarray(ref.image), atol=1e-4)
+
+
+def test_blend_kernel_variants_on_chip():
+    """Mosaic-compiled A/B kernel variants vs the default path on hardware: sigma_mm
+    (MXU quadratic-form sigma), approx_recip, block_scan off, red_sum (same checks as
+    tests/test_rasterize.py::test_blend_kernel_variants_parity, real compile)."""
+    from tpu_splat.ops.pallas.blend import NFEAT, blend_backward, blend_forward
+
+    rng = np.random.default_rng(3)
+    TS, GW, GH, CH = 32, 3, 2, 256
+    n_tiles, P, n_rows, max_chunks = GW * GH, TS * TS, 12, 2
+    N = n_rows * CH
+    s = rng.uniform(1.0, 4.0, N)
+    ca = 1 / (s * s)
+    cc = 1 / (s * s * rng.uniform(0.5, 2.0, N))
+    feats = np.stack(
+        [rng.uniform(0, GW * TS, N), rng.uniform(0, GH * TS, N), ca,
+         rng.uniform(-0.3, 0.3, N) * np.sqrt(ca * cc), cc,
+         rng.uniform(0.1, 1.0, N)] + [rng.uniform(0, 1, N)] * 3
+        + [rng.uniform(1, 10, N)], 1).astype(np.float32)
+    packed = np.zeros((n_rows, NFEAT, CH), np.float32)
+    packed[:, :10, :] = feats.reshape(n_rows, CH, 10).transpose(0, 2, 1)
+    packed = jnp.asarray(packed)
+    row_start = jnp.asarray([0, 2, 4, 6, 8, 10], jnp.int32)
+    count = jnp.asarray([512, 512, 500, 512, 100, 300], jnp.int32)
+    kw = dict(n_tiles=n_tiles, grid_w=GW, tile_size=TS, max_chunks=max_chunks, chunk=CH)
+
+    o0, c0 = blend_forward(packed, row_start, count, **kw)
+    o1, _ = blend_forward(packed, row_start, count, sigma_mm=True, **kw)
+    assert float(jnp.max(jnp.abs(o0 - o1)[:, :, :4])) < 2e-3
+
+    gout = jnp.asarray(rng.normal(0, 0.3, (n_tiles, P, 8)).astype(np.float32))
+    g0 = blend_backward(packed, row_start, count, c0, o0, gout, **kw)
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    for extra in (dict(approx_recip=True), dict(block_scan=False), dict(red_sum=True)):
+        g1 = blend_backward(packed, row_start, count, c0, o0, gout, **extra, **kw)
+        tol = 2e-2 if "approx_recip" in extra else 1e-4
+        assert float(jnp.max(jnp.abs(g0 - g1))) / scale < tol, extra
