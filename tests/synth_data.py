@@ -187,27 +187,31 @@ def _raytrace(eye, r, fx, fy, cx, cy, width, height):
 
 
 def make_raytraced_colmap(base: Path, n_cams=8, size=64, seed=0, exposure_jitter=0.0,
-                          sfm_noise=0.01, n_sfm=400):
-    """Raytraced COLMAP capture (see _raytrace) with SfM-like noisy surface points."""
+                          sfm_noise=0.01, n_sfm=400, height=None):
+    """Raytraced COLMAP capture (see _raytrace) with SfM-like noisy surface points.
+
+    `size` is the image width; `height` defaults to square (garden-scale runs pass
+    e.g. size=1296, height=840)."""
     from tpu_splat.io.image import save_image
 
     base = Path(base)
+    w, h = size, height or size
     rng = np.random.default_rng(seed)
     center = np.array([0.0, 0.05, 5.0])
     (base / "images").mkdir(parents=True, exist_ok=True)
-    f = 0.85 * size
+    f = 0.85 * w
     cams = []
     for i in range(n_cams):
         ang = 2 * np.pi * i / n_cams
         eye = center + np.array([2.3 * np.sin(ang), -0.9, 2.3 * np.cos(ang)])
         r, t = look_at_w2c(eye, center, up=(0, -1, 0))  # world -y is "up"
-        img = _raytrace(eye, r, f, f, size / 2.0, size / 2.0, size, size)
+        img = _raytrace(eye, r, f, f, w / 2.0, h / 2.0, w, h)
         if exposure_jitter:
             img = np.clip(img * (1.0 + rng.uniform(-exposure_jitter, exposure_jitter)), 0, 1)
         name = f"img_{i:03d}.png"
         save_image(str(base / "images" / name), img.transpose(2, 0, 1))
-        cams.append(dict(R=r, T=t, fx=f, fy=f, cx=size / 2.0, cy=size / 2.0,
-                         width=size, height=size, name=name))
+        cams.append(dict(R=r, T=t, fx=f, fy=f, cx=w / 2.0, cy=h / 2.0,
+                         width=w, height=h, name=name))
 
     # SfM-like sparse cloud: noisy SURFACE samples with approximate colors
     pts, cols = [], []

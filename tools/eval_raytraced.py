@@ -35,7 +35,8 @@ if os.environ.get("TPU_SPLAT_PLATFORM"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--size", type=int, default=128, help="image width")
+    ap.add_argument("--height", type=int, default=None, help="image height (default square)")
     ap.add_argument("--n-cams", type=int, default=24)
     ap.add_argument("--iterations", type=int, default=4000)
     ap.add_argument("--out", default="/tmp/rt_eval")
@@ -48,8 +49,8 @@ def main():
 
     out = Path(args.out)
     cap = out / "capture"
-    make_raytraced_colmap(cap, n_cams=args.n_cams, size=args.size, seed=0,
-                          exposure_jitter=0.0, sfm_noise=0.01, n_sfm=args.n_sfm)
+    make_raytraced_colmap(cap, n_cams=args.n_cams, size=args.size, height=args.height,
+                          seed=0, exposure_jitter=0.0, sfm_noise=0.01, n_sfm=args.n_sfm)
 
     from tpu_splat.core.config import (
         DatasetConfig, OptimizationParameters, TrainingParameters)
@@ -66,10 +67,21 @@ def main():
             min_opacity=0.005,
         ),
     )
+    from tpu_splat.utils import events as ev
+
+    marks = []  # (wall time, iteration) at each progress tick -> steady-state rate
+    ev.when(ev.TrainingProgress,
+            lambda e: marks.append((time.time(), e.iteration)))
+
     t0 = time.time()
     trainer = Trainer(params)
-    trainer.train(progress_every=200)
+    trainer.train(progress_every=100)
     elapsed = time.time() - t0
+    steady = None
+    if len(marks) >= 3:  # rate over the last half, excluding warmup/compile ticks
+        (t_a, it_a), (t_b, it_b) = marks[len(marks) // 2], marks[-1]
+        if t_b > t_a:
+            steady = (it_b - it_a) / (t_b - t_a)
     rows = []
     for r in trainer.evaluator.results:
         rows.append(dict(step=r.iteration, psnr=round(float(r.psnr), 3),
@@ -79,6 +91,7 @@ def main():
         print("EVAL", rows[-1], flush=True)
     print(json.dumps(dict(size=args.size, n_cams=args.n_cams,
                           iterations=args.iterations, elapsed_s=round(elapsed, 1),
+                          steady_iters_per_s=None if steady is None else round(steady, 3),
                           results=rows)))
 
 
