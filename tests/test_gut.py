@@ -333,3 +333,26 @@ def test_gut_pallas_per_pixel_origin_matches_xla(mode):
     assert float(jnp.max(jnp.abs(out_x.image - out_p.image))) < 1e-3
     scale = float(jnp.max(jnp.abs(g_x))) + 1e-12
     assert float(jnp.max(jnp.abs(g_x - g_p))) / scale < 5e-3
+
+
+def test_gut_vmm_variant_parity():
+    """kernel_vmm (v = M d on the MXU, hi/lo bf16 [P,3]x[3,3C]) against the default
+    VPU evaluation — image and gradient parity in interpret mode."""
+    scene = {k: jnp.asarray(v) for k, v in make_scene(300, seed=11).items()}
+    W, H = 64, 48
+    args = (scene["means"], scene["scaling_raw"], scene["rotation_raw"],
+            scene["opacity_raw"], scene["sh0"], scene["shN"], scene["alive"],
+            jnp.eye(4), jnp.zeros(3), 0.85 * W, 0.85 * W, W / 2, H / 2, 3,
+            jnp.asarray([0.1, 0.2, 0.3]))
+    kw = dict(width=W, height=H, max_instances=1 << 13, k_max=512,
+              cam_params=CameraParams(radial=(0.05, 0, 0, 0, 0, 0)), backend="pallas")
+
+    def loss(m, vmm):
+        out = rasterize_gut(m, *args[1:], kernel_vmm=vmm, **kw)
+        return jnp.sum(out.image ** 2), out
+
+    (_, o0), g0 = jax.value_and_grad(loss, has_aux=True)(args[0], False)
+    (_, o1), g1 = jax.value_and_grad(loss, has_aux=True)(args[0], True)
+    assert float(jnp.max(jnp.abs(o0.image - o1.image))) < 5e-3
+    scale = float(jnp.max(jnp.abs(g0))) + 1e-12
+    assert float(jnp.max(jnp.abs(g0 - g1))) / scale < 2e-2

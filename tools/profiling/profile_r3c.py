@@ -165,3 +165,40 @@ for bf16 in (False, True):
           flush=True)
 
 print({k: round(v, 2) for k, v in results.items()})
+
+
+# ---- GUT kernel A/B: v = M d on MXU (vmm) vs VPU
+def gut_ab():
+    from tpu_splat.ops.cameras import CameraParams
+    from tpu_splat.ops.gut import rasterize_gut
+
+    sp = splat
+    gp = CameraParams(radial=(0.03, 0, 0, 0, 0, 0))
+
+    def step(m, vmm):
+        def loss(mm_):
+            out = rasterize_gut(
+                mm_, sp.scaling_raw, sp.rotation_raw, sp.opacity_raw, sp.sh0, sp.shN,
+                sp.alive, cam["w2c"], cam["cam_position"], cam["fx"], cam["fy"],
+                cam["cx"], cam["cy"], 3, jnp.zeros(3, jnp.float32),
+                width=W, height=H, max_instances=MAX_INST, k_max=K_MAX,
+                cam_params=gp, kernel_vmm=vmm)
+            return jnp.sum(out.image)
+        return m + 1e-9 * jax.grad(loss)(m)
+
+    for vmm in (False, True):
+        f = jax.jit(lambda m, _v=vmm: step(m, _v))
+        m = f(sp.means)
+        _ = float(m[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(6):
+            m = f(m)
+        _ = float(m[0, 0])
+        ms = (time.perf_counter() - t0) / 6 * 1e3
+        results[f"gut fwd+bwd vmm={vmm}"] = ms
+        print(f"gut fwd+bwd vmm={vmm:d} {ms:9.2f} ms", flush=True)
+
+
+if len(sys.argv) > 1 and "gut" in sys.argv[1:]:
+    gut_ab()
+    print({k: round(v, 2) for k, v in results.items()})

@@ -233,7 +233,7 @@ def _tile_pixel_points(grid_w: int, grid_h: int, tile_size: int, dtype):
     jax.jit,
     static_argnames=(
         "width", "height", "max_instances", "k_max", "chunk", "tile_size",
-        "cam_params", "render_mode", "max_angle", "backend",
+        "cam_params", "render_mode", "max_angle", "backend", "kernel_vmm",
     ),
 )
 def rasterize_gut(
@@ -254,6 +254,7 @@ def rasterize_gut(
     backend: str = "auto",  # "pallas" (TPU kernel) | "xla" (scan blend) | "auto"
     shutter_pose=None,  # (q_start [4], t_start [3], q_end [4], t_end [3]) arrays
     dist=None,  # [12] traced distortion coeffs (radial6|tan2|tp4); overrides cam_params
+    kernel_vmm: bool = False,  # v = M d on the MXU inside the Pallas kernels (A/B flag)
 ) -> RenderOutput:
     """Differentiable GUT render of one camera (distorted pinhole / fisheye).
 
@@ -342,7 +343,7 @@ def rasterize_gut(
         tile_colors, tile_alpha, tile_depth = gut_blend_tiles_pallas(
             inst, isclrot, gro, opacity, color, proj.depth, rays_in,
             grid_w=grid_w, grid_h=grid_h, tile_size=tile_size, k_max=k_max,
-            interpret=jax.devices()[0].platform == "cpu",
+            interpret=jax.devices()[0].platform == "cpu", vmm=kernel_vmm,
         )
         tile_out = jnp.concatenate([tile_colors, tile_depth[:, :, None]], axis=-1)
         counters = (inst.total_instances, inst.max_tile_count, inst.n_visible)

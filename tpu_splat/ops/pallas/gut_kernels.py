@@ -45,20 +45,38 @@ NFEAT_GUT = 32
  F_GX, F_GY, F_GZ, F_OP, F_R, F_G, F_B, F_D) = range(17)
 
 
-def _ray_response(data, rdx, rdy, rdz, lane_valid, do=None):
+def _ray_response(data, rdx, rdy, rdz, lane_valid, do=None, rd_hl=None):
     """alpha + masks + residuals for one chunk.
 
     data [32, 128]; rd* [P, 1]. `do` = per-pixel ray-origin offsets (dox, doy, doz)
     [P, 1] each (rolling shutter / ORTHO, Cameras.cuh:346-414): the effective
     gro(p) = gro + M delta_o(p) varies per pixel. Returns (a, valid, one_m, resid dict)
     with [P, C] arrays; resid g1/g2/g3 are the effective gro ([1, C] or [P, C]).
-    """
+
+    `rd_hl` = hi/lo bf16 split of the [P, 3] ray-direction basis (built once per tile):
+    when present, v = M d moves onto the MXU as ONE [P, 3] x [3, 3C] matmul series
+    (hh + hl + lh, ~2^-17 relative) instead of ~15 VPU passes."""
     def row(i):
         return data[i : i + 1, :]
 
-    v1 = row(F_M00) * rdx + row(F_M01) * rdy + row(F_M02) * rdz  # [P, C]
-    v2 = row(F_M10) * rdx + row(F_M11) * rdy + row(F_M12) * rdz
-    v3 = row(F_M20) * rdx + row(F_M21) * rdy + row(F_M22) * rdz
+    if rd_hl is not None:
+        c = data.shape[-1]
+        mcat = jnp.concatenate(
+            [jnp.concatenate([row(F_M00), row(F_M10), row(F_M20)], axis=1),
+             jnp.concatenate([row(F_M01), row(F_M11), row(F_M21)], axis=1),
+             jnp.concatenate([row(F_M02), row(F_M12), row(F_M22)], axis=1)],
+            axis=0)  # [3, 3C]: Mcat[k, j*C + c] = M[j, k]
+        mh = mcat.astype(jnp.bfloat16)
+        ml = (mcat - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rdh, rdl = rd_hl
+        vcat = _mm(rdh, mh) + _mm(rdh, ml) + _mm(rdl, mh)  # [P, 3C] f32 accum
+        v1 = vcat[:, 0:c]
+        v2 = vcat[:, c : 2 * c]
+        v3 = vcat[:, 2 * c :]
+    else:
+        v1 = row(F_M00) * rdx + row(F_M01) * rdy + row(F_M02) * rdz  # [P, C]
+        v2 = row(F_M10) * rdx + row(F_M11) * rdy + row(F_M12) * rdz
+        v3 = row(F_M20) * rdx + row(F_M21) * rdy + row(F_M22) * rdz
     vv = v1 * v1 + v2 * v2 + v3 * v3
     inorm = jax.lax.rsqrt(jnp.maximum(vv, 1e-24))
     n1, n2, n3 = v1 * inorm, v2 * inorm, v3 * inorm
@@ -95,6 +113,7 @@ def _gut_fwd_kernel(
     *,
     tile_size: int,
     per_pixel_origin: bool = False,
+    vmm: bool = False,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -111,6 +130,11 @@ def _gut_fwd_kernel(
     rdz = rays_ref[0, :, 2:3]
     do = (rays_ref[0, :, 4:5], rays_ref[0, :, 5:6], rays_ref[0, :, 6:7]) \
         if per_pixel_origin else None
+    rd_hl = None
+    if vmm:
+        rd = jnp.concatenate([rdx, rdy, rdz], axis=-1)  # [P, 3]
+        rdh = rd.astype(jnp.bfloat16)
+        rd_hl = (rdh, (rd - rdh.astype(jnp.float32)).astype(jnp.bfloat16))
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -136,7 +160,8 @@ def _gut_fwd_kernel(
         chk_s[:] = jnp.where(chk_col == j, jnp.where(dead > 0.5, 0.0, t_run), chk_s[:])
 
         lane_valid = lane < (count - j * CHUNK)
-        a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do)
+        a, valid, one_m, _ = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do,
+                                           rd_hl=rd_hl)
         # exclusive cumprod via exp(bf16-split MXU log-prefix); rest of
         # _composite_chunk inlined on top of cp_excl (see blend.py _fwd_kernel)
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
@@ -173,9 +198,9 @@ def _gut_fwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks",
-                                             "interpret"))
+                                             "interpret", "vmm"))
 def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size,
-                      max_chunks, interpret: bool = False):
+                      max_chunks, interpret: bool = False, vmm: bool = False):
     p = tile_size * tile_size
     rw = rays.shape[-1]  # 4 (shared origin) or 8 (per-pixel origin offsets in 4-6)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -198,7 +223,7 @@ def gut_blend_forward(packed, rays, row_start, tile_count, *, n_tiles, tile_size
     )
     return pl.pallas_call(
         functools.partial(_gut_fwd_kernel, tile_size=tile_size,
-                          per_pixel_origin=rw == 8),
+                          per_pixel_origin=rw == 8, vmm=vmm),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -226,6 +251,7 @@ def _gut_bwd_kernel(
     *,
     tile_size: int,
     per_pixel_origin: bool = False,
+    vmm: bool = False,
 ):
     del gzero_ref
     t = pl.program_id(0)
@@ -249,6 +275,11 @@ def _gut_bwd_kernel(
     rdz = rays_ref[0, :, 2:3]
     do = (rays_ref[0, :, 4:5], rays_ref[0, :, 5:6], rays_ref[0, :, 6:7]) \
         if per_pixel_origin else None
+    rd_hl = None
+    if vmm:
+        rd = jnp.concatenate([rdx, rdy, rdz], axis=-1)  # [P, 3]
+        rdh = rd.astype(jnp.bfloat16)
+        rd_hl = (rdh, (rd - rdh.astype(jnp.float32)).astype(jnp.bfloat16))
 
     gr = gout_ref[0, :, 0:1]
     gg = gout_ref[0, :, 1:2]
@@ -281,7 +312,8 @@ def _gut_bwd_kernel(
         t_in = jnp.sum(jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True)
 
         lane_valid = lane < (count - j * CHUNK)
-        a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do)
+        a, valid, one_m, rs = _ray_response(data, rdx, rdy, rdz, lane_valid, do=do,
+                                            rd_hl=rd_hl)
         # exclusive lane cumprod via exp(bf16-split MXU log-prefix) — see blend.py
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
         t_excl = t_in * cp_excl
@@ -375,9 +407,10 @@ def _gut_bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "tile_size", "max_chunks",
-                                             "interpret"))
+                                             "interpret", "vmm"))
 def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
-                       n_tiles, tile_size, max_chunks, interpret: bool = False):
+                       n_tiles, tile_size, max_chunks, interpret: bool = False,
+                       vmm: bool = False):
     p = tile_size * tile_size
     rw = rays.shape[-1]
     gzero = jnp.zeros(packed.shape, jnp.float32)
@@ -403,7 +436,7 @@ def gut_blend_backward(packed, rays, row_start, tile_count, chk, out, gout, *,
     )
     return pl.pallas_call(
         functools.partial(_gut_bwd_kernel, tile_size=tile_size,
-                          per_pixel_origin=rw == 8),
+                          per_pixel_origin=rw == 8, vmm=vmm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         input_output_aliases={7: 0},  # gzero (indices include scalar-prefetch operands)
@@ -432,6 +465,7 @@ def gut_blend_tiles_pallas(
     tile_size: int,
     k_max: int,
     interpret: bool = False,
+    vmm: bool = False,  # v = M d on the MXU (hi/lo bf16 [P,3]x[3,3C]); A/B'd on hardware
 ):
     """Pallas GUT blend. Returns (tile_colors [T,P,3], tile_alpha [T,P], tile_depth)."""
     from .raster import align_segments, segmented_grad_reduce
@@ -446,7 +480,7 @@ def gut_blend_tiles_pallas(
         inst, n_tiles, max_chunks
     )
     statics = dict(n_tiles=n_tiles, tile_size=tile_size, max_chunks=max_chunks,
-                   interpret=interpret)
+                   interpret=interpret, vmm=vmm)
 
     def _pack(m, g, op, col, dep, gid):
         feats = jnp.concatenate(
