@@ -21,7 +21,7 @@ from tpu_splat.ops.pallas.raster import align_segments, build_sorted_instances
 from tpu_splat.ops.pallas.blend import NFEAT, blend_backward, blend_forward
 
 
-def pack_features(p, gid, n_rows, chunk, feat_bf16=False):
+def pack_features(p, gid, n_rows=None, chunk=None, feat_bf16=False):
     m2d, con, op, col, dep = p.mean2d, p.conic, p.opacity, p.color, p.depth
     col = jnp.maximum(col, 0.0)
     if feat_bf16:
@@ -110,12 +110,13 @@ print("packed-key diffs (tile_start, tile_count, gid-set):", [int(v) for v in d]
 aligned = jax.tree.map(jax.device_put,
                        jax.jit(lambda i: align_segments(i, N_TILES, MAX_CHUNKS, CH))(inst))
 row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows = aligned
+max_aligned, n_rows = int(max_aligned), int(n_rows)
 
 statics = dict(n_tiles=N_TILES, grid_w=GW, tile_size=TS, max_chunks=MAX_CHUNKS, chunk=CH)
 
 for bf16 in (False, True):
     packed = jax.device_put(jax.jit(functools.partial(
-        pack_features, feat_bf16=bf16))(proj, aligned_gid, n_rows, CH))
+        pack_features, n_rows=n_rows, chunk=CH, feat_bf16=bf16))(proj, aligned_gid))
     tag = "bf16" if bf16 else "f32 "
 
     for bs in (True, False):

@@ -283,6 +283,39 @@ def _lane_iota_row(chunk: int):
     return jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
 
+def _mm_hl(a, b):
+    """f32-fidelity matmul via hi/lo bf16 split of BOTH operands (hh + hl + lh at
+    DEFAULT precision; the dropped ll term is ~2^-16 relative)."""
+    ah, al = _hl(a)
+    bh, bl = _hl(b)
+    ahf = ah.astype(jnp.float32)
+    bhf = bh.astype(jnp.float32)
+    return (_mm(ahf, bhf) + _mm(ahf, bl.astype(jnp.float32))
+            + _mm(al.astype(jnp.float32), bhf))
+
+
+def _bwd_basis(px, py, tile_cx, tile_cy, gout_rows):
+    """Per-tile constants of the basis-reduction backward (hoisted out of the chunk
+    loop): bT [6, P] = (1, x, y, x^2, xy, y^2) in TILE-LOCAL pixel coordinates and
+    gT [4, P] = per-pixel color/depth cotangents.
+
+    The ten per-gaussian gradient reductions collapse onto these bases:
+      * the five sigma-chain gradients (d/dmean2d, d/dconic) are linear combinations of
+        the moments S_k[c] = sum_p dLs[p,c] * basis_k[p] because dx = mx - px expands
+        polynomially in px — so ONE [6, P] x [P, C] matmul replaces five [P, C]
+        multiply passes plus their reductions;
+      * d/dopacity = -S1 / op exactly (dL_da * gauss = -dLs / op wherever dLs != 0);
+      * the four color/depth gradients are gT @ w.
+    Tile-local centering keeps basis magnitudes <= tile_size^2, so the hi/lo bf16
+    matmul split holds ~f32 fidelity without cancellation."""
+    x = jnp.transpose(px - tile_cx)  # [1, P]
+    y = jnp.transpose(py - tile_cy)
+    ones = jnp.ones_like(x)
+    bt = jnp.concatenate([ones, x, y, x * x, x * y, y * y], axis=0)  # [6, P]
+    gt = jnp.concatenate([jnp.transpose(g) for g in gout_rows], axis=0)  # [4, P]
+    return bt, gt
+
+
 # ------------------------------------------------------------------------------- forward
 
 
@@ -463,6 +496,7 @@ def _bwd_kernel(
     red_sum: bool = False,
     block_scan: bool = True,
     approx_recip: bool = False,
+    basis_red: bool = True,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -491,6 +525,20 @@ def _bwd_kernel(
     gd = gout_ref[0, :, 4:5]
     t_final = out_ref[0, :, 3:4]
     s0 = t_final * gt  # dL through T_final, folded into the suffix term
+    if basis_red:
+        tile_cx = ((t % grid_w) * tile_size + tile_size // 2).astype(jnp.float32)
+        tile_cy = ((t // grid_w + y0_ref[0]) * tile_size + tile_size // 2).astype(
+            jnp.float32)
+        bt_full, gt_full = _bwd_basis(px, py, tile_cx, tile_cy, (gr, gg, gb, gd))
+        bth, btl = _hl(bt_full)
+        gth, gtl = _hl(gt_full)
+        bth, btl = bth.astype(jnp.float32), btl.astype(jnp.float32)
+        gth, gtl = gth.astype(jnp.float32), gtl.astype(jnp.float32)
+
+        def _mm_presplit(lh, ll, rhs):
+            rh, rl = _hl(rhs)
+            rhf = rh.astype(jnp.float32)
+            return _mm(lh, rhf) + _mm(lh, rl.astype(jnp.float32)) + _mm(ll, rhf)
 
     def in_dma(slot, j):
         return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
@@ -561,41 +609,74 @@ def _bwd_kernel(
         gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
         not_clamped = jnp.where(op * gauss < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
         dL_dsigma = dL_da * (-a) * not_clamped
-        ones_p = jnp.ones((1, p), jnp.float32)
 
-        # pixel-axis column sums for all 10 gradient features as ONE MXU matmul
-        # ([1,P] x [P,10*C]) — ten separate tiny matmuls pay ~10x launch latency
-        stacked = jnp.concatenate(
-            [
-                dL_dsigma * (ca * dx + cb2 * dy),
-                dL_dsigma * (cc * dy + cb2 * dx),
-                dL_dsigma * 0.5 * dx * dx,
-                dL_dsigma * dx * dy,
-                dL_dsigma * 0.5 * dy * dy,
-                dL_da * gauss * not_clamped,
-                w * gr,
-                w * gg,
-                w * gb,
-                w * gd,
-            ],
-            axis=1,
-        )  # [P, 10*C]
-        if red_sum:
-            # sublane tree-reduce variant: the [1, P] x [P, 10C] matmul uses 1 of the
-            # MXU's 128 result rows; whether Mosaic's reduce or the M=1 matmul wins is
-            # an empirical question (A/B'd on hardware, tools/profiling)
-            red10 = jnp.sum(stacked, axis=0, keepdims=True)  # [1, 10*C]
+        if basis_red:
+            # moment form (see _bwd_basis): two skinny MXU matmuls replace the ten
+            # [P, C] product passes + the [P, 10C] reduction
+            r6 = _mm_presplit(bth, btl, dL_dsigma)  # [6, C] moments of dLs
+            r4 = _mm_presplit(gth, gtl, w)  # [4, C] color/depth grads
+            s1 = r6[0:1]
+            sx = r6[1:2]
+            sy = r6[2:3]
+            sxx = r6[3:4]
+            sxy = r6[4:5]
+            syy = r6[5:6]
+            mxl = mx - tile_cx  # [1, C]
+            myl = my - tile_cy
+            ex = mxl * s1 - sx  # = sum_p dLs * dx
+            ey = myl * s1 - sy
+            # d/dopacity: dL_da * gauss * nc == -dLs / op wherever dLs != 0 (a = op*gauss
+            # on the unclamped support; both sides vanish on the clamp/invalid set)
+            g_op = -s1 * (pl.reciprocal(op, approx=True) if approx_recip else 1.0 / op)
+            grads = jnp.concatenate(
+                [
+                    ca * ex + cb2 * ey,  # d/dmx
+                    cc * ey + cb2 * ex,  # d/dmy
+                    0.5 * (mxl * ex - sx * mxl + sxx),  # d/dca: 0.5*sum dLs*dx^2
+                    mxl * ey - myl * sx + sxy,  # d/dcb: sum dLs*dx*dy
+                    0.5 * (myl * ey - sy * myl + syy),  # d/dcc
+                    g_op,
+                    r4,
+                    jnp.zeros((NFEAT - 10, chunk), jnp.float32),
+                ],
+                axis=0,
+            )  # [16, chunk]
         else:
-            red10 = jax.lax.dot_general(
-                ones_p, stacked, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, 10*C]
+            ones_p = jnp.ones((1, p), jnp.float32)
 
-        grads = jnp.concatenate(
-            [red10[:, i * chunk : (i + 1) * chunk] for i in range(10)]
-            + [jnp.zeros((NFEAT - 10, chunk), jnp.float32)],
-            axis=0,
-        )  # [16, chunk] (lane slices are chunk-aligned -> cheap relayout)
+            # pixel-axis column sums for all 10 gradient features as ONE MXU matmul
+            # ([1,P] x [P,10*C]) — ten separate tiny matmuls pay ~10x launch latency
+            stacked = jnp.concatenate(
+                [
+                    dL_dsigma * (ca * dx + cb2 * dy),
+                    dL_dsigma * (cc * dy + cb2 * dx),
+                    dL_dsigma * 0.5 * dx * dx,
+                    dL_dsigma * dx * dy,
+                    dL_dsigma * 0.5 * dy * dy,
+                    dL_da * gauss * not_clamped,
+                    w * gr,
+                    w * gg,
+                    w * gb,
+                    w * gd,
+                ],
+                axis=1,
+            )  # [P, 10*C]
+            if red_sum:
+                # sublane tree-reduce variant: the [1, P] x [P, 10C] matmul uses 1 of the
+                # MXU's 128 result rows; whether Mosaic's reduce or the M=1 matmul wins is
+                # an empirical question (A/B'd on hardware, tools/profiling)
+                red10 = jnp.sum(stacked, axis=0, keepdims=True)  # [1, 10*C]
+            else:
+                red10 = jax.lax.dot_general(
+                    ones_p, stacked, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [1, 10*C]
+
+            grads = jnp.concatenate(
+                [red10[:, i * chunk : (i + 1) * chunk] for i in range(10)]
+                + [jnp.zeros((NFEAT - 10, chunk), jnp.float32)],
+                axis=0,
+            )  # [16, chunk] (lane slices are chunk-aligned -> cheap relayout)
 
         # wait for this slot's previous output flight before overwriting the buffer
         @pl.when(i >= 2)
@@ -625,7 +706,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
                               "interpret", "grad_dtype", "red_sum", "block_scan",
-                              "approx_recip")
+                              "approx_recip", "basis_red")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -645,7 +726,8 @@ def blend_backward(
     grad_dtype=jnp.float32,  # bf16 = pre-reduction rounding, half the output DMA
     red_sum: bool = False,
     block_scan: bool = True,
-    approx_recip: bool = False,
+    approx_recip: bool = True,  # ~2^-12 reciprocals on dL_da/g_op (-3.4 ms, inside budget)
+    basis_red: bool = True,  # moment-form gradient reduction (two skinny MXU matmuls)
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
     stay zero (zero-init via input-output aliasing)."""
@@ -675,7 +757,7 @@ def blend_backward(
     gpacked = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
-                          approx_recip=approx_recip),
+                          approx_recip=approx_recip, basis_red=basis_red),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)

@@ -60,19 +60,21 @@ def _ray_response(data, rdx, rdy, rdz, lane_valid, do=None, rd_hl=None):
         return data[i : i + 1, :]
 
     if rd_hl is not None:
-        c = data.shape[-1]
-        mcat = jnp.concatenate(
-            [jnp.concatenate([row(F_M00), row(F_M10), row(F_M20)], axis=1),
-             jnp.concatenate([row(F_M01), row(F_M11), row(F_M21)], axis=1),
-             jnp.concatenate([row(F_M02), row(F_M12), row(F_M22)], axis=1)],
-            axis=0)  # [3, 3C]: Mcat[k, j*C + c] = M[j, k]
-        mh = mcat.astype(jnp.bfloat16)
-        ml = (mcat - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        # v_j = rd . M[j, :] as a [P, 3] x [3, C] matmul per output row; the M rows are
+        # CONTIGUOUS [3, C] sublane slices of the feature block (a lane-concat of rows
+        # at different sublane offsets is unimplemented in Mosaic — the single
+        # [3, 3C]-RHS form crashes the compiler)
         rdh, rdl = rd_hl
-        vcat = _mm(rdh, mh) + _mm(rdh, ml) + _mm(rdl, mh)  # [P, 3C] f32 accum
-        v1 = vcat[:, 0:c]
-        v2 = vcat[:, c : 2 * c]
-        v3 = vcat[:, 2 * c :]
+
+        def vslice(lo):
+            m = data[lo : lo + 3, :]  # [3, C] = (M[j,0], M[j,1], M[j,2]) over gaussians
+            mh = m.astype(jnp.bfloat16)
+            ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return _mm(rdh, mh) + _mm(rdh, ml) + _mm(rdl, mh)  # [P, C] f32 accum
+
+        v1 = vslice(F_M00)
+        v2 = vslice(F_M10)
+        v3 = vslice(F_M20)
     else:
         v1 = row(F_M00) * rdx + row(F_M01) * rdy + row(F_M02) * rdz  # [P, C]
         v2 = row(F_M10) * rdx + row(F_M11) * rdy + row(F_M12) * rdz
