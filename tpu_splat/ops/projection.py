@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .quat import quat_to_rotmat
+from .quat import quat_to_rotmat_cols
 from .sh import sh_to_color
 
 DILATION = 0.3
@@ -69,13 +69,17 @@ def project(
     opacity = jax.nn.sigmoid(opacity_raw[:, 0])  # numerically stable vs 1/(1+exp(-x))
     visible &= opacity >= MIN_ALPHA
 
-    # 3D covariance (kernels_forward.cuh:78-106); variance = exp(2*raw_scale)
+    # 3D covariance chain (kernels_forward.cuh:78-106) in FLAT COLUMN form:
+    # cov2d = JW (R S^2 R^T) JW^T is evaluated as u = R^T jw1, v = R^T jw2,
+    # cov_ij = sum_k var_k u_k v_k — no [N, 3, 3] intermediate ever exists, so the
+    # autodiff backward to scaling/rotation stays fully fused flat [N] arithmetic
+    # (the einsum form's VJP cost ~37 ms of relayout-heavy code at 1M gaussians,
+    # tools/profiling/profile_parambwd.py).
     q = rotation_raw
     q_norm_sq = jnp.sum(q * q, axis=-1)
     visible &= q_norm_sq >= 1e-8
-    rot = quat_to_rotmat(q)  # [N,3,3]
+    rc = quat_to_rotmat_cols(q)  # nine flat [N] columns, row-major
     var = jnp.exp(2.0 * scaling_raw)  # [N,3]
-    cov3d = (rot * var[:, None, :]) @ jnp.swapaxes(rot, -1, -2)  # [N,3,3]
 
     # normalized camera-plane coords
     x = (means @ r1[:3] + r1[3]) / safe_depth
@@ -89,15 +93,16 @@ def project(
     j22 = fy / safe_depth
     j23 = -j22 * ty
 
-    # JW: rows of the 2x3 composite (J @ W[:3,:3])
-    jw_r1 = j11[:, None] * r1[:3][None, :] + j13[:, None] * r3[:3][None, :]  # [N,3]
-    jw_r2 = j22[:, None] * r2[:3][None, :] + j23[:, None] * r3[:3][None, :]
+    # JW rows (J @ W[:3,:3]) as flat columns; w2c row entries are per-camera scalars
+    jw1 = tuple(j11 * r1[i] + j13 * r3[i] for i in range(3))  # 3 x [N]
+    jw2 = tuple(j22 * r2[i] + j23 * r3[i] for i in range(3))
 
-    jwc_r1 = jnp.einsum("ni,nij->nj", jw_r1, cov3d)
-    jwc_r2 = jnp.einsum("ni,nij->nj", jw_r2, cov3d)
-    cov_a = jnp.sum(jwc_r1 * jw_r1, axis=-1) + DILATION
-    cov_b = jnp.sum(jwc_r1 * jw_r2, axis=-1)
-    cov_c = jnp.sum(jwc_r2 * jw_r2, axis=-1) + DILATION
+    u = tuple(jw1[0] * rc[0][k] + jw1[1] * rc[1][k] + jw1[2] * rc[2][k] for k in range(3))
+    v = tuple(jw2[0] * rc[0][k] + jw2[1] * rc[1][k] + jw2[2] * rc[2][k] for k in range(3))
+    v0, v1, v2 = var[:, 0], var[:, 1], var[:, 2]
+    cov_a = v0 * u[0] * u[0] + v1 * u[1] * u[1] + v2 * u[2] * u[2] + DILATION
+    cov_b = v0 * u[0] * v[0] + v1 * u[1] * v[1] + v2 * u[2] * v[2]
+    cov_c = v0 * v[0] * v[0] + v1 * v[1] * v[1] + v2 * v[2] * v[2] + DILATION
 
     det = cov_a * cov_c - cov_b * cov_b
     visible &= det >= 1e-8
