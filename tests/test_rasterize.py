@@ -222,6 +222,8 @@ def test_blend_kernel_variants_parity():
         (dict(), 2e-2),  # default path: basis_red + approx reciprocals (~2^-12)
         (dict(block_scan=False, **exact), 1e-5),
         (dict(red_sum=True, **exact), 1e-5),
+        # quadratic-form sigma on the MXU in the backward (~1e-3 on sigma -> alphas)
+        (dict(sigma_mm=True, approx_recip=False), 5e-3),
     ):
         g1 = blend_backward(packed, row_start, count, c0, o0, gout, **extra, **kw)
         assert float(jnp.max(jnp.abs(g0 - g1))) / scale < tol, extra

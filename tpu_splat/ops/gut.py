@@ -41,7 +41,7 @@ from .cameras import (
     quat_rotate,
 )
 from .projection import MAX_FRAGMENT_ALPHA, MIN_ALPHA, Projected
-from .quat import quat_to_rotmat
+from .quat import quat_to_rotmat, quat_to_rotmat_cols
 from .rasterize import RasterAux, RenderOutput, assemble_image
 from .sh import sh_to_color
 from .tiles import build_tile_assignment
@@ -289,12 +289,25 @@ def rasterize_gut(
     )
     proj, compensation = jax.lax.optimization_barrier((proj, compensation))
 
-    # differentiable per-gaussian quantities
-    rot = quat_to_rotmat(rotation_raw)
-    inv_scale = jnp.exp(-scaling_raw)
-    isclrot = inv_scale[:, :, None] * jnp.swapaxes(rot, -1, -2)  # [N,3,3] S^-1 R^T
+    # differentiable per-gaussian quantities, in FLAT COLUMN form: building
+    # isclrot = S^-1 R^T via broadcast-multiplied [N,3,3] transposes gives autodiff a
+    # relayout-heavy VJP (same pathology as the fast path's einsum covariance chain,
+    # tools/profiling/profile_parambwd.py) — flat columns keep the backward fused,
+    # with one final stack for the kernel's [N,3,3] input
+    rc = quat_to_rotmat_cols(rotation_raw)
+    inv_scale = jnp.exp(-scaling_raw)  # [N,3]
+    # isclrot[k, j] = inv_s_k * R_jk (row k of S^-1 R^T)
+    isr = [[inv_scale[:, k] * rc[j][k] for j in range(3)] for k in range(3)]
+    isclrot = jnp.stack(
+        [jnp.stack(row, axis=-1) for row in isr], axis=-2
+    )  # [N,3,3] S^-1 R^T
     ray_o = cam_position
-    gro = jnp.einsum("nij,nj->ni", isclrot, ray_o[None, :] - means)
+    d_o = ray_o[None, :] - means  # [N,3]
+    gro = jnp.stack(
+        [isr[k][0] * d_o[:, 0] + isr[k][1] * d_o[:, 1] + isr[k][2] * d_o[:, 2]
+         for k in range(3)],
+        axis=-1,
+    )
     opacity = jax.nn.sigmoid(opacity_raw[:, 0]) * jax.lax.stop_gradient(
         jnp.where(proj.visible, 1.0, 0.0)
     )

@@ -187,8 +187,9 @@ def _chunk_alphas(rows, px, py, lane_valid, sigma=None):
     """Per-(pixel, gaussian) alpha + masks for one chunk.
 
     rows = _feat_rows(...); px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
-    Returns (a, valid, one_m) each [P, 128]; a has invalid entries zeroed.
-    `sigma` may be precomputed (see `_sigma_mm`)."""
+    Returns (a, valid, one_m, gauss) each [P, 128]; a has invalid entries zeroed.
+    `sigma` may be precomputed (see `_sigma_mm`); `gauss` is returned so the backward's
+    clamp test reuses the SAME exp instead of re-deriving the sigma chain."""
     mx, my, ca, cb, cc, op = rows[:6]
 
     # sigma >= 0 guards against degenerate conics (rasterization_config.h:11-30); the
@@ -205,7 +206,7 @@ def _chunk_alphas(rows, px, py, lane_valid, sigma=None):
     alpha = jnp.minimum(op * gauss, MAX_FRAGMENT_ALPHA)
     valid = (sigma >= sig_floor) & (alpha >= MIN_ALPHA) & lane_valid
     a = jnp.where(valid, alpha, 0.0)
-    return a, valid, 1.0 - a
+    return a, valid, 1.0 - a, gauss
 
 
 def _hl(x):
@@ -380,7 +381,7 @@ def _fwd_kernel(
         lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
         rows = _feat_rows(data, feat_bf16)
         sig = _sigma_mm(bh, bl, rows, tile_cx, tile_cy) if sigma_mm else None
-        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
+        a, valid, one_m, _ = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
         # exclusive cumprod via exp(bf16-split MXU prefix of logs): two DEFAULT-precision
         # matmuls reproduce f32 (see _lane_exclusive_cumsum_f32). A HIGHEST-precision
         # variant measured SLOWER than the rolls (87 vs 48 ms); the split form is 3x
@@ -497,6 +498,7 @@ def _bwd_kernel(
     block_scan: bool = True,
     approx_recip: bool = False,
     basis_red: bool = True,
+    sigma_mm: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -525,10 +527,13 @@ def _bwd_kernel(
     gd = gout_ref[0, :, 4:5]
     t_final = out_ref[0, :, 3:4]
     s0 = t_final * gt  # dL through T_final, folded into the suffix term
-    if basis_red:
+    if basis_red or sigma_mm:
         tile_cx = ((t % grid_w) * tile_size + tile_size // 2).astype(jnp.float32)
         tile_cy = ((t // grid_w + y0_ref[0]) * tile_size + tile_size // 2).astype(
             jnp.float32)
+    if sigma_mm:
+        bh, bl = _pixel_basis(px, py, tile_cx, tile_cy)
+    if basis_red:
         bt_full, gt_full = _bwd_basis(px, py, tile_cx, tile_cy, (gr, gg, gb, gd))
         bth, btl = _hl(bt_full)
         gth, gtl = _hl(gt_full)
@@ -569,7 +574,8 @@ def _bwd_kernel(
         lane_valid = lane < (count - j * chunk)
         rows = _feat_rows(data, feat_bf16)
         mx, my, ca, cb2, cc, op, cr, cg, cb_, cd = rows
-        a, valid, one_m = _chunk_alphas(rows, px, py, lane_valid)
+        sig = _sigma_mm(bh, bl, rows, tile_cx, tile_cy) if sigma_mm else None
+        a, valid, one_m, gauss = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
         # exclusive lane cumprod via exp(MXU prefix-sum of logs) — see _strict_upper
         cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
         t_excl = t_in * cp_excl
@@ -602,11 +608,9 @@ def _bwd_kernel(
         else:
             dL_da = usef * (t_excl * cdotg - suffix / one_m)
 
-        # chain rule through alpha = min(op * exp(-max(sigma, 0)), 0.999)
-        dx = mx - px
-        dy = my - py
-        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb2 * dx * dy
-        gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
+        # chain rule through alpha = min(op * exp(-max(sigma, 0)), 0.999); gauss is the
+        # SAME exp the alpha came from (_chunk_alphas), so the clamp test is exact and
+        # the sigma chain is evaluated once per chunk
         not_clamped = jnp.where(op * gauss < MAX_FRAGMENT_ALPHA, 1.0, 0.0)
         dL_dsigma = dL_da * (-a) * not_clamped
 
@@ -643,6 +647,8 @@ def _bwd_kernel(
             )  # [16, chunk]
         else:
             ones_p = jnp.ones((1, p), jnp.float32)
+            dx = mx - px
+            dy = my - py
 
             # pixel-axis column sums for all 10 gradient features as ONE MXU matmul
             # ([1,P] x [P,10*C]) — ten separate tiny matmuls pay ~10x launch latency
@@ -706,7 +712,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
                               "interpret", "grad_dtype", "red_sum", "block_scan",
-                              "approx_recip", "basis_red")
+                              "approx_recip", "basis_red", "sigma_mm")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -728,6 +734,10 @@ def blend_backward(
     block_scan: bool = True,
     approx_recip: bool = True,  # ~2^-12 reciprocals on dL_da/g_op (-3.4 ms, inside budget)
     basis_red: bool = True,  # moment-form gradient reduction (two skinny MXU matmuls)
+    sigma_mm: bool = True,  # quadratic-form sigma on the MXU: the backward never needs
+    # per-pixel dx/dy under basis_red, so the sigma matmul wins here (46.8 vs 48.5 ms
+    # on chip, rel diff 3.8e-4; the FORWARD keeps the VPU form — there it LOST 31 vs 29,
+    # tools/profiling/profile_r3d.py)
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
     stay zero (zero-init via input-output aliasing)."""
@@ -757,7 +767,8 @@ def blend_backward(
     gpacked = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
-                          approx_recip=approx_recip, basis_red=basis_red),
+                          approx_recip=approx_recip, basis_red=basis_red,
+                          sigma_mm=sigma_mm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
