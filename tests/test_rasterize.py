@@ -182,6 +182,39 @@ def test_pallas_interpret_matches_xla(pack_bf16):
         assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
 
 
+def test_segmented_grad_reduce_flat_scan_parity():
+    """flat_scan=True is the SAME block-scan decomposition on a dense flat layout —
+    results must match the padded form to f32 roundoff, including empty segments,
+    segments spanning block boundaries, and the aligned-slot sentinel."""
+    from tpu_splat.ops.pallas.raster import segmented_grad_reduce
+
+    rng = np.random.default_rng(7)
+    n, max_inst, max_al, width = 50, 512, 640, 10
+    # random contiguous segments over emission order (some empty)
+    counts = rng.integers(0, 40, n)
+    counts[rng.random(n) < 0.2] = 0
+    counts = (counts * (max_inst - 1) // max(counts.sum(), 1)).astype(np.int32)
+    seg_e = np.cumsum(counts).astype(np.int32)
+    seg_s = (seg_e - counts).astype(np.int32)
+    rank = np.repeat(np.arange(n, dtype=np.int32), counts)
+    rank = np.pad(rank, (0, max_inst - rank.size), constant_values=n)
+    qem = np.full(max_inst, max_al, np.int32)
+    used = int(counts.sum())
+    qem[:used] = rng.permutation(max_al)[:used]
+    ginst = rng.normal(0, 1, (max_al, width)).astype(np.float32)
+
+    args = (jnp.asarray(ginst), jnp.asarray(qem), jnp.asarray(rank),
+            jnp.asarray(seg_s), jnp.asarray(seg_e))
+    a = segmented_grad_reduce(*args, gather_dtype=jnp.float32, flat_scan=False)
+    b = segmented_grad_reduce(*args, gather_dtype=jnp.float32, flat_scan=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5)
+    # oracle: plain per-segment sums of the emission-gathered rows
+    gp = np.concatenate([ginst, np.zeros((1, width), np.float32)], 0)
+    ge = gp[np.minimum(qem, max_al)]
+    oracle = np.stack([ge[s:e].sum(0) for s, e in zip(seg_s, seg_e)])
+    np.testing.assert_allclose(np.asarray(a), oracle, rtol=1e-4, atol=1e-4)
+
+
 def test_blend_kernel_variants_parity():
     """Kernel-level A/B variants (hardware-tuning flags) against the default path, in
     interpret mode: sigma_mm (quadratic-form MXU sigma, budget ~1e-3), approx_recip

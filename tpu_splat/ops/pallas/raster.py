@@ -224,7 +224,8 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
 
-def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloat16):
+def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloat16,
+                          flat_scan: bool = False):
     """Per-gaussian gradient totals from per-aligned-instance rows without a collision
     scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
     Hillis-Steele scan + affine associative carry propagation, segment-end gathers.
@@ -232,7 +233,11 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     ginst [MAX_AL, width]; qem [MAX_INST] emission->aligned map (sentinel MAX_AL);
     rank [MAX_INST] segment ids (gaussian id per emission slot); seg_s/seg_e [N] segment
     bounds. Emission order is gaussian-id order, so the segment-end gather lands directly
-    in gid order. Returns [N, width]."""
+    in gid order. Returns [N, width].
+
+    flat_scan: run the Hillis-Steele passes on a DENSE flat [nb, blk*width] layout
+    (a [*, 10] f32 array physically pads every row to a 128-lane tile, so each scan pass
+    streams 12.8x the useful bytes; the flat form pays two relayout passes instead)."""
     max_aligned, width = ginst.shape
     max_inst = qem.shape[0]
     # the emission-order row gather is the most expensive single op of the backward
@@ -251,20 +256,41 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
 
     blk = 128
     nb = max_inst // blk
-    xb = ge.reshape(nb, blk, width)
     rb = rank.reshape(nb, blk)
-    step = 1
-    while step < blk:
-        shifted = jnp.concatenate(
-            [jnp.zeros((nb, step, width), jnp.float32), xb[:, :-step]], axis=1
-        )
-        same = jnp.concatenate(
-            [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
-        )
-        xb = xb + jnp.where(same[:, :, None], shifted, 0.0)
-        step *= 2
+    if flat_scan:
+        bw = blk * width
+        fb = ge.reshape(nb, bw)  # dense relayout: 10 full lane-tiles per 128 rows
+        # per-element segment id, flat (materialized once; each pass then compares
+        # dense rolls of this array instead of broadcasting a per-row mask)
+        rf = jnp.broadcast_to(rank.reshape(nb, blk)[:, :, None],
+                              (nb, blk, width)).reshape(nb, bw)
+        step = 1
+        while step < blk:
+            s = step * width
+            shifted = jnp.concatenate(
+                [jnp.zeros((nb, s), jnp.float32), fb[:, :-s]], axis=1
+            )
+            same = jnp.concatenate(
+                [jnp.zeros((nb, s), bool), rf[:, s:] == rf[:, :-s]], axis=1
+            )
+            fb = fb + jnp.where(same, shifted, 0.0)
+            step *= 2
+        last = fb[:, -width:]  # [nb, width] trailing-run sum at each block end
+        xb = None
+    else:
+        xb = ge.reshape(nb, blk, width)
+        step = 1
+        while step < blk:
+            shifted = jnp.concatenate(
+                [jnp.zeros((nb, step, width), jnp.float32), xb[:, :-step]], axis=1
+            )
+            same = jnp.concatenate(
+                [jnp.zeros((nb, step), bool), rb[:, step:] == rb[:, :-step]], axis=1
+            )
+            xb = xb + jnp.where(same[:, :, None], shifted, 0.0)
+            step *= 2
+        last = xb[:, -1]  # [nb, width] trailing-run sum at each block end
 
-    last = xb[:, -1]  # [nb, width] trailing-run sum at each block end
     lastrank = rb[:, -1]
     firstrank = rb[:, 0]
     spans = (firstrank == lastrank).astype(jnp.float32)  # block is one segment run
@@ -282,8 +308,18 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
         return al * ar, br + ar * bl
 
     _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
-    xb = xb + jnp.where((rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0)
-    x = xb.reshape(max_inst, width)
+    if flat_scan:
+        in_first = jnp.broadcast_to(
+            (rb == firstrank[:, None])[:, :, None], (nb, blk, width)
+        ).reshape(nb, blk * width)
+        cf = jnp.broadcast_to(carry[:, None, :], (nb, blk, width)).reshape(
+            nb, blk * width)
+        fb = fb + jnp.where(in_first, cf, 0.0)
+        x = fb.reshape(max_inst, width)
+    else:
+        xb = xb + jnp.where(
+            (rb == firstrank[:, None])[:, :, None], carry[:, None, :], 0.0)
+        x = xb.reshape(max_inst, width)
     per_gid = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]
     return per_gid * (seg_e > seg_s)[:, None]
 

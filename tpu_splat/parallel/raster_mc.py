@@ -51,7 +51,7 @@ except ImportError:  # pragma: no cover - older jax
         return _smap_old(f, check_rep=False, **kw)
 
 from ..ops.pallas.raster import blend_tiles_pallas, build_sorted_instances
-from ..ops.projection import project
+from ..ops.projection import Projected, project
 from ..ops.rasterize import assemble_image
 
 
@@ -76,9 +76,14 @@ def compact_visible(proj, feats, budget: int):
 
     Returns (cproj, cfeats, n_visible_local). Rows beyond `budget` are DROPPED — the
     caller must surface n_visible_local so the host can grow the budget and redo
-    (trainer._check_pending), exactly like the instance budget. The row gather
-    transposes to a scatter-add, so gradients flow back to the owning rows.
-    """
+    (trainer._check_pending), exactly like the instance budget.
+
+    All leaves are packed into ONE [n, W] f32 matrix before the row gather: TPU gathers
+    are issue-bound per ROW regardless of width (~8 ms/M rows,
+    tools/profiling/profile_gather_locality.py), so a per-leaf tree.map pays ~10-14
+    gathers — and as many scatter-adds in the VJP — where one wide gather (one
+    scatter-add transpose) does the same work. Int/bool leaves ride as exact f32
+    (tile coords < 2^24) behind a stop_gradient."""
     vis = proj.visible
     n = vis.shape[0]
     pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
@@ -88,15 +93,47 @@ def compact_visible(proj, feats, budget: int):
     take = jnp.zeros((budget,), jnp.int32).at[tgt].set(arange, mode="drop")
     slot_ok = jnp.arange(budget, dtype=jnp.int32) < n_vis
 
-    def g(x):
-        return x[take]
-
-    cproj = jax.tree.map(g, proj)
-    cproj = cproj._replace(
-        visible=cproj.visible & slot_ok,
-        n_tiles=jnp.where(slot_ok, cproj.n_tiles, 0),
+    f32 = proj.mean2d.dtype
+    diff_cols = [proj.mean2d, proj.conic, proj.opacity[:, None], proj.color,
+                 proj.depth[:, None]]
+    nfeat = 0
+    if feats != ():
+        diff_cols += [feats.isclrot.reshape(n, 9), feats.gro,
+                      feats.opacity[:, None], feats.color]
+        nfeat = 16
+    nd_cols = jnp.concatenate(
+        [
+            proj.tile_min.astype(f32), proj.tile_max.astype(f32),
+            proj.n_tiles.astype(f32)[:, None], proj.power_threshold[:, None],
+            vis.astype(f32)[:, None],
+        ],
+        axis=1,
     )
-    cfeats = jax.tree.map(g, feats)
+    packed = jnp.concatenate(diff_cols + [jax.lax.stop_gradient(nd_cols)], axis=1)
+    gg = packed[take]  # ONE row gather; VJP = ONE scatter-add back to owning rows
+    off = 10 + nfeat
+    nd = jax.lax.stop_gradient(gg[:, off : off + 7])
+    visc = (nd[:, 6] > 0.5) & slot_ok
+    cproj = Projected(
+        mean2d=gg[:, 0:2],
+        conic=gg[:, 2:5],
+        opacity=gg[:, 5],
+        color=gg[:, 6:9],
+        depth=gg[:, 9],
+        tile_min=nd[:, 0:2].astype(jnp.int32),
+        tile_max=nd[:, 2:4].astype(jnp.int32),
+        n_tiles=jnp.where(visc, nd[:, 4].astype(jnp.int32), 0),
+        power_threshold=nd[:, 5],
+        visible=visc,
+    )
+    if feats == ():
+        return cproj, (), n_vis
+    cfeats = _GutFeats(
+        isclrot=gg[:, 10:19].reshape(budget, 3, 3),
+        gro=gg[:, 19:22],
+        opacity=gg[:, 22],
+        color=gg[:, 23:26],
+    )
     return cproj, cfeats, n_vis
 
 
