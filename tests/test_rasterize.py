@@ -182,9 +182,9 @@ def test_pallas_interpret_matches_xla(pack_bf16):
         assert float(jnp.max(jnp.abs(gx - gp))) / scale < 2e-2
 
 
-def test_segmented_grad_reduce_flat_scan_parity():
-    """flat_scan=True is the SAME block-scan decomposition on a dense flat layout —
-    results must match the padded form to f32 roundoff, including empty segments,
+def test_segmented_grad_reduce_impl_parity():
+    """The three segred impls (padded scan, dense flat scan, block MXU matmul) are the
+    same decomposition — results must match to f32 roundoff, including empty segments,
     segments spanning block boundaries, and the aligned-slot sentinel."""
     from tpu_splat.ops.pallas.raster import segmented_grad_reduce
 
@@ -205,9 +205,15 @@ def test_segmented_grad_reduce_flat_scan_parity():
 
     args = (jnp.asarray(ginst), jnp.asarray(qem), jnp.asarray(rank),
             jnp.asarray(seg_s), jnp.asarray(seg_e))
-    a = segmented_grad_reduce(*args, gather_dtype=jnp.float32, flat_scan=False)
-    b = segmented_grad_reduce(*args, gather_dtype=jnp.float32, flat_scan=True)
+    a = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="pad_scan")
+    b = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="flat_scan")
+    c = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="block_mm")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-4)
+    # bf16 lane: block_mm must match pad_scan at the SAME gather quantization
+    a16 = segmented_grad_reduce(*args, gather_dtype=jnp.bfloat16, impl="pad_scan")
+    c16 = segmented_grad_reduce(*args, gather_dtype=jnp.bfloat16, impl="block_mm")
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(c16), rtol=1e-5, atol=1e-4)
     # oracle: plain per-segment sums of the emission-gathered rows
     gp = np.concatenate([ginst, np.zeros((1, width), np.float32)], 0)
     ge = gp[np.minimum(qem, max_al)]
@@ -244,6 +250,10 @@ def test_blend_kernel_variants_parity():
     o0, c0 = blend_forward(packed, row_start, count, **kw)
     o1, _ = blend_forward(packed, row_start, count, sigma_mm=True, **kw)
     assert float(jnp.max(jnp.abs(o0 - o1)[:, :, :4])) < 2e-3
+    # base-2 transcendental lane: value-identical math (exp2(LOG2E*x) == exp(x)),
+    # only rounding differs
+    o2, _ = blend_forward(packed, row_start, count, base2=True, **kw)
+    assert float(jnp.max(jnp.abs(o0 - o2)[:, :, :4])) < 1e-5
 
     gout = jnp.asarray(rng.normal(0, 0.3, (n_tiles, P, 8)).astype(np.float32))
     # reference: the exact stacked-product reduction, exact divides
@@ -257,6 +267,8 @@ def test_blend_kernel_variants_parity():
         (dict(red_sum=True, **exact), 1e-5),
         # quadratic-form sigma on the MXU in the backward (~1e-3 on sigma -> alphas)
         (dict(sigma_mm=True, approx_recip=False), 5e-3),
+        # base-2 transcendentals: value-identical, rounding-only differences
+        (dict(base2=True, **exact), 1e-4),
     ):
         g1 = blend_backward(packed, row_start, count, c0, o0, gout, **extra, **kw)
         assert float(jnp.max(jnp.abs(g0 - g1))) / scale < tol, extra

@@ -64,21 +64,21 @@ def chain(name, fn, x0, *args, iters=8):
     return ms
 
 
-for fs in (False, True):
-    chain(f"segred flat_scan={fs}",
-          lambda x, g, q, r, ss, se, _fs=fs: jnp.square(segmented_grad_reduce(
+for im in ("pad_scan", "flat_scan", "block_mm"):
+    chain(f"segred impl={im}",
+          lambda x, g, q, r, ss, se, _im=im: jnp.square(segmented_grad_reduce(
               (g.astype(jnp.float32) + x).astype(jnp.bfloat16), q, r, ss, se,
-              flat_scan=_fs)).sum() * 1e-9,
+              impl=_im)).sum() * 1e-9,
           jnp.float32(0), ginst, qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)
 
 # numerics: identical decomposition, must match to f32 roundoff
 @jax.jit
 def diff(g, q, r, ss, se):
-    a = segmented_grad_reduce(g, q, r, ss, se, flat_scan=False)
-    b = segmented_grad_reduce(g, q, r, ss, se, flat_scan=True)
+    a = segmented_grad_reduce(g, q, r, ss, se, impl="pad_scan")
+    b = segmented_grad_reduce(g, q, r, ss, se, impl="block_mm")
     return jnp.abs(a - b).max() / jnp.maximum(jnp.abs(a).max(), 1e-6)
 
-print("flat vs block rel diff:",
+print("block_mm vs pad_scan rel diff:",
       float(diff(ginst, qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end)),
       flush=True)
 print({k: round(v, 2) for k, v in results.items()})

@@ -50,6 +50,7 @@ NFEAT = 16  # padded to a (16, 128) f32 tile
 MIN_ALPHA = 1.0 / 255.0
 MAX_FRAGMENT_ALPHA = 0.999
 TRANSMITTANCE_THRESHOLD = 1e-4
+LOG2E = 1.4426950408889634  # base-2 transcendental folding (see _chunk_alphas)
 
 CHUNK = 128  # default gaussians per inner step (lane dim); kernels accept 128 or 256
 
@@ -183,13 +184,20 @@ def _feat_rows(data, feat_bf16: bool):
             f(F_OP), f(F_R), f(F_G), f(F_B), f(F_D))
 
 
-def _chunk_alphas(rows, px, py, lane_valid, sigma=None):
+def _chunk_alphas(rows, px, py, lane_valid, sigma=None, base2=False):
     """Per-(pixel, gaussian) alpha + masks for one chunk.
 
     rows = _feat_rows(...); px/py [P, 1]; lane_valid [1, 128] bool (segment tail).
     Returns (a, valid, one_m, gauss) each [P, 128]; a has invalid entries zeroed.
     `sigma` may be precomputed (see `_sigma_mm`); `gauss` is returned so the backward's
-    clamp test reuses the SAME exp instead of re-deriving the sigma chain."""
+    clamp test reuses the SAME exp instead of re-deriving the sigma chain.
+
+    base2: evaluate gauss as exp2(-LOG2E * sigma) with LOG2E folded into the [1, C]
+    conic rows (or already folded into `sigma` by the _sigma_mm caller) — exp lowers to
+    exp2 + a [P, C] multiply, so folding the scale into per-GAUSSIAN rows deletes one
+    full [P, C] VPU pass per chunk. gauss/alpha VALUES are identical (exp2(LOG2E*x) ==
+    exp(x)); only sigma's internal scale changes, and sigma is consumed only by the
+    sign test + gauss."""
     mx, my, ca, cb, cc, op = rows[:6]
 
     # sigma >= 0 guards against degenerate conics (rasterization_config.h:11-30); the
@@ -197,12 +205,15 @@ def _chunk_alphas(rows, px, py, lane_valid, sigma=None):
     # gaussian centers (exact sigma ~ 0+), where contributions are strongest
     sig_floor = 0.0
     if sigma is None:
+        if base2:
+            ca, cb, cc = ca * LOG2E, cb * LOG2E, cc * LOG2E  # [1, C] — free
         dx = mx - px  # [P, 128]
         dy = my - py
         sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     else:
-        sig_floor = -0.01
-    gauss = jnp.exp(-jnp.maximum(sigma, 0.0))
+        sig_floor = -0.01 * (LOG2E if base2 else 1.0)
+    exp_fn = jnp.exp2 if base2 else jnp.exp
+    gauss = exp_fn(-jnp.maximum(sigma, 0.0))
     alpha = jnp.minimum(op * gauss, MAX_FRAGMENT_ALPHA)
     valid = (sigma >= sig_floor) & (alpha >= MIN_ALPHA) & lane_valid
     a = jnp.where(valid, alpha, 0.0)
@@ -225,13 +236,18 @@ def _pixel_basis(px, py, tile_cx, tile_cy):
     return _hl(b)
 
 
-def _sigma_mm(bh, bl, rows, tile_cx, tile_cy):
+def _sigma_mm(bh, bl, rows, tile_cx, tile_cy, base2=False):
     """sigma(p, c) as ONE quadratic-form matmul: [P, 6] pixel basis x [6, C] per-gaussian
     coefficients. Moves the ~7 VPU passes of the (dx, dy, sigma) evaluation onto the MXU
     (3 DEFAULT-precision bf16 matmuls: hh + hl + lh; the omitted ll term and the hi/lo
     input truncation bound the error at ~2^-17 relative of the largest expanded term,
-    which tile-local centering keeps ~O(100) -> absolute sigma error ~1e-3)."""
+    which tile-local centering keeps ~O(100) -> absolute sigma error ~1e-3).
+
+    base2: returns LOG2E * sigma (scale folded into the [1, C] conic rows — free; see
+    _chunk_alphas)."""
     mx, my, ca, cb, cc = rows[:5]
+    if base2:
+        ca, cb, cc = ca * LOG2E, cb * LOG2E, cc * LOG2E  # [1, C] — free
     mxl = mx - tile_cx  # [1, C]
     myl = my - tile_cy
     g = jnp.concatenate(
@@ -334,6 +350,7 @@ def _fwd_kernel(
     feat_bf16: bool = False,
     block_scan: bool = True,
     sigma_mm: bool = False,
+    base2: bool = False,
 ):
     t = pl.program_id(0)
     row0 = row_start_ref[t]
@@ -380,13 +397,18 @@ def _fwd_kernel(
 
         lane_valid = lane < (count - j * chunk)  # [1, chunk] segment-tail mask
         rows = _feat_rows(data, feat_bf16)
-        sig = _sigma_mm(bh, bl, rows, tile_cx, tile_cy) if sigma_mm else None
-        a, valid, one_m, _ = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
+        sig = (_sigma_mm(bh, bl, rows, tile_cx, tile_cy, base2=base2)
+               if sigma_mm else None)
+        a, valid, one_m, _ = _chunk_alphas(rows, px, py, lane_valid, sigma=sig,
+                                           base2=base2)
         # exclusive cumprod via exp(bf16-split MXU prefix of logs): two DEFAULT-precision
         # matmuls reproduce f32 (see _lane_exclusive_cumsum_f32). A HIGHEST-precision
         # variant measured SLOWER than the rolls (87 vs 48 ms); the split form is 3x
         # fewer MXU passes. Rest of _composite_chunk inlined on top of cp_excl.
-        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        # base2: log/exp lower to log2/exp2 + a multiply; in base-2 log space the
+        # multiplies vanish (the prefix SUM is base-agnostic).
+        log_fn, exp_fn = (jnp.log2, jnp.exp2) if base2 else (jnp.log, jnp.exp)
+        cp_excl = exp_fn(_lane_exclusive_cumsum_f32(log_fn(one_m), u_strict))
         t_excl = t_run * cp_excl
         t_incl = t_excl * one_m
         below = t_incl < TRANSMITTANCE_THRESHOLD
@@ -423,7 +445,7 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
-                              "interpret", "block_scan", "sigma_mm")
+                              "interpret", "block_scan", "sigma_mm", "base2")
 )
 def blend_forward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -439,6 +461,10 @@ def blend_forward(
     tile_y0=None,  # traced [] int32 tile-row offset (multi-chip windows); None = 0
     block_scan: bool = True,  # 128-block-decomposed MXU prefix at chunk > 128
     sigma_mm: bool = False,  # quadratic-form sigma on the MXU (A/B'd on hardware)
+    base2: bool = False,  # base-2 transcendentals (LOG2E folded into [1,C] rows);
+    # measured a WASH at garden scale (195.9 vs 191.6 ms full step, within tunnel
+    # noise) — the kernel transcendentals pipeline behind the DMA/matmul work. Kept
+    # as an A/B lane, default off.
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
@@ -463,7 +489,8 @@ def blend_forward(
     )
     out, chk = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
-                          feat_bf16=feat_bf16, block_scan=block_scan, sigma_mm=sigma_mm),
+                          feat_bf16=feat_bf16, block_scan=block_scan, sigma_mm=sigma_mm,
+                          base2=base2),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -499,6 +526,7 @@ def _bwd_kernel(
     approx_recip: bool = False,
     basis_red: bool = True,
     sigma_mm: bool = False,
+    base2: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -574,10 +602,13 @@ def _bwd_kernel(
         lane_valid = lane < (count - j * chunk)
         rows = _feat_rows(data, feat_bf16)
         mx, my, ca, cb2, cc, op, cr, cg, cb_, cd = rows
-        sig = _sigma_mm(bh, bl, rows, tile_cx, tile_cy) if sigma_mm else None
-        a, valid, one_m, gauss = _chunk_alphas(rows, px, py, lane_valid, sigma=sig)
+        sig = (_sigma_mm(bh, bl, rows, tile_cx, tile_cy, base2=base2)
+               if sigma_mm else None)
+        a, valid, one_m, gauss = _chunk_alphas(rows, px, py, lane_valid, sigma=sig,
+                                               base2=base2)
         # exclusive lane cumprod via exp(MXU prefix-sum of logs) — see _strict_upper
-        cp_excl = jnp.exp(_lane_exclusive_cumsum_f32(jnp.log(one_m), u_strict))
+        log_fn, exp_fn = (jnp.log2, jnp.exp2) if base2 else (jnp.log, jnp.exp)
+        cp_excl = exp_fn(_lane_exclusive_cumsum_f32(log_fn(one_m), u_strict))
         t_excl = t_in * cp_excl
         t_incl = t_excl * one_m
         # monotone t_incl: the stop or-scan collapses to the threshold predicate
@@ -712,7 +743,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
                               "interpret", "grad_dtype", "red_sum", "block_scan",
-                              "approx_recip", "basis_red", "sigma_mm")
+                              "approx_recip", "basis_red", "sigma_mm", "base2")
 )
 def blend_backward(
     packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
@@ -738,6 +769,7 @@ def blend_backward(
     # per-pixel dx/dy under basis_red, so the sigma matmul wins here (46.8 vs 48.5 ms
     # on chip, rel diff 3.8e-4; the FORWARD keeps the VPU form — there it LOST 31 vs 29,
     # tools/profiling/profile_r3d.py)
+    base2: bool = False,  # base-2 transcendentals (see blend_forward) — wash, lane only
 ) -> jax.Array:
     """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
     stay zero (zero-init via input-output aliasing)."""
@@ -768,7 +800,7 @@ def blend_backward(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
                           approx_recip=approx_recip, basis_red=basis_red,
-                          sigma_mm=sigma_mm),
+                          sigma_mm=sigma_mm, base2=base2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)

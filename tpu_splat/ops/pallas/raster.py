@@ -225,19 +225,28 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
 
 
 def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloat16,
-                          flat_scan: bool = False):
+                          impl: str = "block_mm"):
     """Per-gaussian gradient totals from per-aligned-instance rows without a collision
     scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
-    Hillis-Steele scan + affine associative carry propagation, segment-end gathers.
+    segmented reduce + affine associative carry propagation, segment-end gathers.
 
     ginst [MAX_AL, width]; qem [MAX_INST] emission->aligned map (sentinel MAX_AL);
     rank [MAX_INST] segment ids (gaussian id per emission slot); seg_s/seg_e [N] segment
     bounds. Emission order is gaussian-id order, so the segment-end gather lands directly
     in gid order. Returns [N, width].
 
-    flat_scan: run the Hillis-Steele passes on a DENSE flat [nb, blk*width] layout
-    (a [*, 10] f32 array physically pads every row to a 128-lane tile, so each scan pass
-    streams 12.8x the useful bytes; the flat form pays two relayout passes instead)."""
+    impl (A/B lanes, tools/profiling/profile_segred3.py):
+    * "block_mm" (default): ONE batched MXU matmul per 128-block, `A @ x` with
+      A[i,j] = (rank_i == rank_j) & (j <= i) — the segmented inclusive prefix, since
+      runs are contiguous. (The triangular term is NOT redundant: emission slots past
+      `total` hold the last gaussian's rank via the cummax fill, so the last segment's
+      end position would otherwise sum tail rows too.) Replaces 7 masked Hillis-Steele
+      passes (each streaming the padded [*,width] array) with 128x128 MXU work that is
+      ~free next to the A materialization; measured 39 vs 44 ms at garden scale.
+    * "pad_scan": block-local Hillis-Steele on the padded [nb, blk, width] layout.
+    * "flat_scan": the same scan on a DENSE flat [nb, blk*width] layout (the padded
+      form streams 12.8x the useful bytes per pass; the flat form pays two relayouts
+      instead — measured slightly SLOWER on chip, kept as a lane)."""
     max_aligned, width = ginst.shape
     max_inst = qem.shape[0]
     # the emission-order row gather is the most expensive single op of the backward
@@ -257,7 +266,24 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     blk = 128
     nb = max_inst // blk
     rb = rank.reshape(nb, blk)
-    if flat_scan:
+    if impl == "block_mm":
+        # A is exact in bf16 (0/1); the fast path's rows are already bf16-quantized by
+        # the gather above, so a DEFAULT-precision bf16 matmul (f32 accumulation) loses
+        # nothing. The GUT path gathers f32 — give it a HIGHEST-precision f32 matmul.
+        if gather_dtype == jnp.bfloat16:
+            a_dt, x_dt, prec = jnp.bfloat16, jnp.bfloat16, None
+        else:
+            a_dt, x_dt, prec = jnp.float32, jnp.float32, jax.lax.Precision.HIGHEST
+        ii = jnp.arange(blk, dtype=jnp.int32)
+        tri = ii[:, None] >= ii[None, :]
+        same = ((rb[:, :, None] == rb[:, None, :]) & tri[None]).astype(a_dt)
+        xb = jax.lax.dot_general(
+            same, ge.reshape(nb, blk, width).astype(x_dt),
+            (((2,), (1,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+        last = xb[:, -1]
+    elif impl == "flat_scan":
         bw = blk * width
         fb = ge.reshape(nb, bw)  # dense relayout: 10 full lane-tiles per 128 rows
         # per-element segment id, flat (materialized once; each pass then compares
@@ -308,7 +334,7 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
         return al * ar, br + ar * bl
 
     _, carry = jax.lax.associative_scan(affine_op, (a_coef, b_coef), axis=0)
-    if flat_scan:
+    if impl == "flat_scan":
         in_first = jnp.broadcast_to(
             (rb == firstrank[:, None])[:, :, None], (nb, blk, width)
         ).reshape(nb, blk * width)
