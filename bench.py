@@ -204,8 +204,10 @@ def main():
     mesh_iters_per_s = m_iters / (time.perf_counter() - t0)
     mesh_overhead = iters_per_s / mesh_iters_per_s - 1.0
     # projected per-chip ICI bytes of the compacted feature-table all-gather at g chips:
-    # Projected pytree ~17 f32 cols (+2 bf16-equivalent for color pack) per visible row
-    table_mb = budget * 17 * 4 / 1e6
+    # Projected pytree ~17 f32 cols (+2 bf16-equivalent for color pack) per visible row.
+    # When budget >= shard rows the mesh path skips compaction (nothing to save on this
+    # everything-visible synthetic scene) and all-gathers the full table.
+    table_mb = min(budget, n_gauss) * 17 * 4 / 1e6
     allgather_mb_2chip = table_mb * 0.5  # (g-1)/g at g=2, per camera per step
 
     result = {

@@ -71,6 +71,23 @@ def test_mc_render_matches_single_device():
     # windowed per-chip tile counts cover the same instances
     assert int(jnp.max(mxts)) <= plan.k_max
 
+    # pre-all-gather compaction branch: capacity 512 over gauss=4 -> 128 rows/shard,
+    # all 100 live gaussians land in shard 0 -> budget 112 (>= visible, < shard rows)
+    # takes the compacted path and must render identically, with dead compaction slots
+    # gathering distinct masked rows. (An insufficient budget DROPS rows by design —
+    # the trainer grows gather_budget and redoes, like the instance budget.)
+    ts2, (gts2, w2cs2, cpos2, intr2, bg2), kwargs2, _ = _setup(capacity=512)
+    splat2 = ts2.splat
+    plan_c = RasterPlan(plan.max_instances, plan.k_max, chunk=128, tile_size=16,
+                        gather_budget=112)
+    imgs_c, _, _, _, _, nshard, _ = render_batch_mc(
+        mesh, splat2.params(), splat2.alive,
+        jnp.zeros((2, splat2.capacity, 2), jnp.float32),
+        w2cs2, cpos2, intr2, 2, bg2, width=32, height=32, plan=plan_c, batch=2,
+    )
+    assert int(jnp.max(nshard)) <= 112  # budget sufficient: no dropped rows
+    np.testing.assert_allclose(np.asarray(imgs_c[0]), np.asarray(ref.image), atol=5e-5)
+
 
 def test_batched_step_matches_single_step():
     ts, (gts, w2cs, cpos, intr, bg), kwargs, cam = _setup()

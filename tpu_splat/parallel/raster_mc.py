@@ -83,14 +83,21 @@ def compact_visible(proj, feats, budget: int):
     tools/profiling/profile_gather_locality.py), so a per-leaf tree.map pays ~10-14
     gathers — and as many scatter-adds in the VJP — where one wide gather (one
     scatter-add transpose) does the same work. Int/bool leaves ride as exact f32
-    (tile coords < 2^24) behind a stop_gradient."""
+    (tile coords < 2^24) behind a stop_gradient.
+
+    Callers must skip compaction when budget >= n (render_batch_mc does): it saves
+    nothing and pays the full gather+scatter. Dead slots (beyond n_visible) gather
+    DISTINCT source rows (slot i -> row i, masked invalid): a shared dummy source
+    would make the VJP a [budget - n_vis]-way colliding scatter-add on one row, which
+    XLA serializes — measured as the entire 68% 1-chip mesh overhead before this."""
     vis = proj.visible
     n = vis.shape[0]
+    assert budget < n, "compact_visible called with budget >= n: caller must skip"
     pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
     n_vis = pos[-1] + 1
     arange = jnp.arange(n, dtype=jnp.int32)
     tgt = jnp.where(vis, pos, budget)
-    take = jnp.zeros((budget,), jnp.int32).at[tgt].set(arange, mode="drop")
+    take = jnp.arange(budget, dtype=jnp.int32).at[tgt].set(arange, mode="drop")
     slot_ok = jnp.arange(budget, dtype=jnp.int32) < n_vis
 
     f32 = proj.mean2d.dtype
@@ -270,9 +277,13 @@ def render_batch_mc(
             # full-image visibility of the local shard rows — the densification
             # signal (matches single-path RasterAux.visible, rasterize.py:233)
             vis_full = jax.lax.stop_gradient(proj.visible)
-            if budget is not None:
+            if budget is not None and budget < proj.visible.shape[0]:
                 proj, feats, n_vis_loc = compact_visible(proj, feats, budget)
             else:
+                # budget >= shard capacity: compaction saves nothing (the gather
+                # would touch MORE rows than the uncompacted table) — skip it.
+                # Everything-visible scenes hit this; real captures with partial
+                # per-camera visibility take the compacted branch.
                 n_vis_loc = jnp.sum(proj.visible.astype(jnp.int32))
             # one ICI all-gather of the (compacted) projected feature table; the
             # transpose of this gather is the psum_scatter that returns gradients to
