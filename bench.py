@@ -14,9 +14,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: the bench compiles ~6 large programs (probe, step,
+# render, GUT, mesh) at 1-4 min each on the single-core host; caching them makes
+# reruns start in seconds instead of ~20 min.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def build_workload(n_gauss: int, width: int, height: int, seed: int = 0):

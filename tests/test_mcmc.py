@@ -13,6 +13,7 @@ from tpu_splat.training import strategy_mcmc
 from tpu_splat.training.optim import init_adam_state
 from tpu_splat.training.train_step import (
     RasterPlan, StepConfig, init_train_state, refine_step, train_step,
+    train_step_many,
 )
 
 from utils import make_camera
@@ -95,6 +96,46 @@ def test_is_refining_window():
     assert not f(650, 500, 25000, 100)
     assert not f(25000, 500, 25000, 100)  # strict stop
     assert f(24900, 500, 25000, 100)
+
+
+def test_train_step_many_matches_sequential():
+    """K steps in one lax.scan launch == K sequential train_step calls (the trainer's
+    dispatch-amortization lane must be semantically invisible)."""
+    state = _make_state(n=120, capacity=256, seed=7)
+    cams = [make_camera(48, 48, fov_deg=55.0 + 5.0 * i) for i in range(3)]
+    plan = RasterPlan(max_instances=1 << 14, k_max=256, chunk=32)
+    cfg = StepConfig(strategy="mcmc")
+    gt = jnp.asarray(np.random.default_rng(2).random((3, 48, 48), np.float32))
+    kw = dict(width=48, height=48, plan=plan, opt=cfg, total_iterations=100)
+
+    k = 5
+    seq = [cams[i % 3] for i in range(k)]
+    ts_a = init_train_state(state, seed=9)
+    losses_a = []
+    for i, cam in enumerate(seq):
+        ts_a, st = train_step(
+            ts_a, gt, cam["w2c"], cam["cam_position"],
+            cam["fx"], cam["fy"], cam["cx"], cam["cy"], jnp.zeros(3), jnp.int32(i % 3),
+            **kw,
+        )
+        losses_a.append(float(st.loss))
+
+    ts_b = init_train_state(state, seed=9)
+    gts = jnp.broadcast_to(gt[None], (k,) + gt.shape)
+    w2cs = jnp.stack([jnp.asarray(c["w2c"]) for c in seq])
+    cpos = jnp.stack([jnp.asarray(c["cam_position"]) for c in seq])
+    intr = jnp.asarray([[c["fx"], c["fy"], c["cx"], c["cy"]] for c in seq], jnp.float32)
+    bgs = jnp.zeros((k, 3), jnp.float32)
+    cidx = jnp.asarray([i % 3 for i in range(k)], jnp.int32)
+    ts_b, stats = train_step_many(ts_b, gts, w2cs, cpos, intr, bgs, cidx, **kw)
+
+    np.testing.assert_allclose(np.asarray(stats.loss), np.asarray(losses_a), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ts_b.splat.means), np.asarray(ts_a.splat.means), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ts_b.splat.opacity_raw), np.asarray(ts_a.splat.opacity_raw), atol=1e-6)
+    assert int(ts_b.iteration) == int(ts_a.iteration) == 6
+    assert int(np.asarray(stats.max_tile_count).max()) <= plan.k_max
 
 
 def test_train_step_end_to_end_improves():

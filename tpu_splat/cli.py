@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh 'data' axis size (default: batch size)")
     p.add_argument("--mesh-gauss", type=int, dest="mesh_gauss",
                    help="mesh 'gauss' axis size (default: n_devices / data)")
+    p.add_argument("--scan-steps", type=int, dest="scan_steps",
+                   help="steps folded into one launch between host hooks (1 = off)")
     p.add_argument("--steps-scaler", type=float, dest="steps_scaler")
     p.add_argument("--strategy", choices=["mcmc", "default"])
     # features

@@ -104,6 +104,12 @@ class OptimizationParameters:
     batch_size: int = 1
     mesh_data: int = 0
     mesh_gauss: int = 0
+    # Steps per executable launch on the single-device path: the trainer folds
+    # uninterrupted stretches between host hooks into ONE lax.scan launch
+    # (train_step_many), amortizing per-launch host/tunnel dispatch cost. 1 = off.
+    # Semantically invisible (tests assert scan == sequential); rollback/redo restarts
+    # from the chunk start.
+    scan_steps: int = 8
 
     def apply_steps_scaler(self) -> "OptimizationParameters":
         """steps_scaler (>0) multiplies schedule lengths (argument_parser.cpp:422-439)."""

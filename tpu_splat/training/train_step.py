@@ -364,6 +364,64 @@ def train_step(
     return new_ts, stats
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "plan", "opt", "total_iterations"),
+)
+def train_step_many(
+    ts: TrainState,
+    gt_images: jnp.ndarray,  # [K, 3, H, W]
+    w2cs: jnp.ndarray,  # [K, 4, 4]
+    cam_positions: jnp.ndarray,  # [K, 3]
+    intrinsics: jnp.ndarray,  # [K, 4] (fx, fy, cx, cy)
+    bg_colors: jnp.ndarray,  # [K, 3]
+    cam_idxs: jnp.ndarray,  # [K] int32
+    dists=None,  # [K, 12] per-sample distortion coeffs (GUT path) or None
+    *,
+    width: int,
+    height: int,
+    plan: RasterPlan,
+    opt: Any,
+    total_iterations: int,
+) -> tuple[TrainState, StepStats]:
+    """K train steps in ONE executable launch (lax.scan over stacked camera inputs).
+
+    The per-launch host cost (argument handling + tunnel RPC on this single-core host)
+    is a measurable slice of the ~190 ms step; the trainer folds uninterrupted stretches
+    between host hooks into one launch. Semantically identical to K sequential
+    `train_step` calls (same body, carried TrainState); returned stats are stacked [K]
+    so the overflow/rollback protocol checks `max()` over the chunk and redoes from the
+    chunk start. (The reference's host loop launches its kernel sequence per iteration,
+    trainer.cpp:579-858 — on TPU one fused program is the idiomatic equivalent.)"""
+
+    def body(carry, xs):
+        gt, w2c, cpos, intr, bgc, ci, dist = xs
+        new_ts, stats = train_step.__wrapped__(
+            carry, gt, w2c, cpos, intr[0], intr[1], intr[2], intr[3], bgc, ci, dist,
+            width=width, height=height, plan=plan, opt=opt,
+            total_iterations=total_iterations,
+        )
+        return new_ts, stats
+
+    k = gt_images.shape[0]
+    if dists is None:
+        dists = jnp.zeros((k, 0), jnp.float32)  # scan needs a leaf; body ignores shape-0
+        xs = (gt_images, w2cs, cam_positions, intrinsics, bg_colors, cam_idxs, dists)
+
+        def body_nodist(carry, xs):
+            gt, w2c, cpos, intr, bgc, ci, _ = xs
+            new_ts, stats = train_step.__wrapped__(
+                carry, gt, w2c, cpos, intr[0], intr[1], intr[2], intr[3], bgc, ci, None,
+                width=width, height=height, plan=plan, opt=opt,
+                total_iterations=total_iterations,
+            )
+            return new_ts, stats
+
+        return jax.lax.scan(body_nodist, ts, xs)
+    xs = (gt_images, w2cs, cam_positions, intrinsics, bg_colors, cam_idxs, dists)
+    return jax.lax.scan(body, ts, xs)
+
+
 @functools.partial(jax.jit, static_argnames=("min_opacity", "max_cap"))
 def refine_step(ts: TrainState, *, min_opacity: float, max_cap: int) -> tuple[TrainState, dict]:
     """MCMC relocate + grow (host-dispatched on the refine schedule)."""

@@ -42,6 +42,7 @@ from .metrics import MetricsEvaluator
 from .train_step import (
     RasterPlan,
     StepConfig,
+    StepStats,
     TrainState,
     adc_refine_step,
     adc_reset_opacity_step,
@@ -51,6 +52,7 @@ from .train_step import (
     refine_step,
     sparsity_prune_step,
     train_step,
+    train_step_many,
 )
 
 log = get_logger(__name__)
@@ -385,6 +387,69 @@ class Trainer:
         )
         return PendingStep(iteration=iteration, prev_state=prev, stats=stats, plan=self.plan)
 
+    def _scan_chunk(self, it: int, total: int, progress_every: int) -> int:
+        """Steps foldable into one launch from `it`: stop at the FIRST iteration that
+        any host hook fires on (that iteration becomes the chunk's last step, so the
+        existing hook code runs at the right boundary)."""
+        k_max = min(int(getattr(self.opt, "scan_steps", 1) or 1), total - it + 1)
+        if k_max <= 1:
+            return 1
+        opt = self.opt
+        for j in range(it, it + k_max):
+            if (
+                self._needs_topology_hook(j)
+                or j % progress_every == 0
+                or self._timelapse_due(j)
+                or (opt.enable_eval and j in opt.eval_steps)
+                or j in opt.save_steps
+                or (self.checkpoint_every and j % self.checkpoint_every == 0)
+                or j == total
+            ):
+                return j - it + 1
+        return k_max
+
+    def _dispatch_scan(self, samples, iteration: int) -> Optional[PendingStep]:
+        """K steps in ONE launch (train_step_many). Returns None when the samples are
+        heterogeneous (mixed image sizes, or mixed GUT camera configs) — the caller
+        falls back to per-step dispatch."""
+        cams = [s.camera for s in samples]
+        w, h = cams[0].image_width, cams[0].image_height
+        if any(c.image_width != w or c.image_height != h for c in cams):
+            return None
+        if self.step_cfg.gut:
+            pairs = [self._gut_cfg_for(c) for c in cams]
+            cfg = pairs[0][0]
+            if any(p[0] != cfg for p in pairs[1:]):
+                return None
+            dists = jnp.stack([p[1] for p in pairs])
+        else:
+            cfg, dists = self.step_cfg, None
+        prev = self.state
+        k = len(samples)
+        gts = jnp.stack([jnp.asarray(s.image) for s in samples])
+        w2cs = jnp.stack([jnp.asarray(c.world_view_transform) for c in cams])
+        cpos = jnp.stack([jnp.asarray(c.cam_position) for c in cams])
+        intr = jnp.asarray(
+            [[s.fx, s.fy, s.cx, s.cy] for s in samples], jnp.float32)
+        bgs = jnp.stack([
+            jnp.asarray(self.background_for_step(iteration + j)) for j in range(k)])
+        cidx = jnp.asarray([s.index for s in samples], jnp.int32)
+        self.state, stats = train_step_many(
+            self.state, gts, w2cs, cpos, intr, bgs, cidx, dists,
+            width=w, height=h, plan=self.plan, opt=cfg,
+            total_iterations=self.opt.iterations,
+        )
+        # budget checks cover the whole chunk (max); loss_hist logs the last step
+        reduced = StepStats(
+            loss=stats.loss[-1],
+            total_instances=stats.total_instances.max(),
+            max_tile_count=stats.max_tile_count.max(),
+            n_visible=stats.n_visible.max(),
+            n_shard_visible=stats.n_shard_visible.max(),
+        )
+        return PendingStep(iteration=iteration, prev_state=prev, stats=reduced,
+                           plan=self.plan)
+
     def _check_pending(self, pending: PendingStep) -> bool:
         """Validate a completed step's budget counters; grow plan / request redo."""
         total = int(pending.stats.total_instances)
@@ -537,8 +602,21 @@ class Trainer:
                     samples = [next(loader) for _ in range(self.batch_size)]
                     pending.append(self._dispatch_batched(samples, it))
                 else:
-                    sample = next(loader)
-                    pending.append(self._dispatch_step(sample, it))
+                    k = self._scan_chunk(it, total, progress_every)
+                    if k > 1:
+                        samples = [next(loader) for _ in range(k)]
+                        ps = self._dispatch_scan(samples, it)
+                        if ps is not None:
+                            pending.append(ps)
+                            it += k - 1  # hooks below run at the chunk's last step
+                        else:  # heterogeneous samples: per-step dispatch
+                            for j, s in enumerate(samples[:-1]):
+                                pending.append(self._dispatch_step(s, it + j))
+                            it += k - 1
+                            pending.append(self._dispatch_step(samples[-1], it))
+                    else:
+                        sample = next(loader)
+                        pending.append(self._dispatch_step(sample, it))
 
                 # keep 2 steps in flight; drain opportunistically
                 if len(pending) >= 2:
