@@ -208,12 +208,16 @@ def test_segmented_grad_reduce_impl_parity():
     a = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="pad_scan")
     b = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="flat_scan")
     c = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="block_mm")
+    d = segmented_grad_reduce(*args, gather_dtype=jnp.float32, impl="pallas_mm")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(d), rtol=1e-5, atol=1e-4)
     # bf16 lane: block_mm must match pad_scan at the SAME gather quantization
     a16 = segmented_grad_reduce(*args, gather_dtype=jnp.bfloat16, impl="pad_scan")
     c16 = segmented_grad_reduce(*args, gather_dtype=jnp.bfloat16, impl="block_mm")
+    d16 = segmented_grad_reduce(*args, gather_dtype=jnp.bfloat16, impl="pallas_mm")
     np.testing.assert_allclose(np.asarray(a16), np.asarray(c16), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(d16), rtol=1e-5, atol=1e-4)
     # oracle: plain per-segment sums of the emission-gathered rows
     gp = np.concatenate([ginst, np.zeros((1, width), np.float32)], 0)
     ge = gp[np.minimum(qem, max_al)]

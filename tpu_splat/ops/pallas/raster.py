@@ -19,19 +19,29 @@ and XLA's ~7x-slower collision scatter-add.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..projection import Projected, will_contribute
 from .blend import CHUNK, NFEAT, blend_backward, blend_forward
 
-# G-table columns (per-gaussian, gaussian-id order)
-(G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_MX, G_MY, G_CA, G_CB, G_CC, G_PTH, G_OFFS,
- G_DEPTH) = range(12)
-G_COLS = 16  # padded for an efficient row gather
+# G-table columns (per-gaussian, gaussian-id order). Columns 0-9 deliberately MATCH the
+# blend kernel's f32 feature layout (blend.py F_*), so the SAME table serves both
+# row-gathers of the pipeline: gtab[pos] (emission: tile walk, contribution test, sort
+# keys) and gtab[aligned_gid] (the f32 feature pack — no separate feature table is ever
+# built; the kernel ignores the junk in columns 10-15). A scatter-based pack through
+# qa_emis was measured and REJECTED: XLA's row scatter runs ~220 ms for 2M 16-col rows
+# on this TPU (vs ~19 ms for the equivalent gather) regardless of unique/sorted hints
+# (tools/profiling/profile_r4b.py).
+(G_MX, G_MY, G_CA, G_CB, G_CC, G_OP, G_R, G_G, G_B, G_DEPTH,
+ G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_PTH, G_OFFS) = range(16)
+G_COLS = 16  # one f32 lane-tile row
 
 
 class SortedInstances(NamedTuple):
@@ -46,6 +56,10 @@ class SortedInstances(NamedTuple):
     total_instances: jax.Array  # [] int32 (conservative rect total)
     max_tile_count: jax.Array  # [] int32
     n_visible: jax.Array  # [] int32
+    emis_feat: jax.Array = None  # [MAX_INST, 16] f32 — per-instance features in
+    # emission order (G_* layout; cols 0-9 are the blend kernel's F_* features)
+    gtab: jax.Array = None  # [N, 16] f32 per-gaussian table (G_* layout) — the f32
+    # pack gathers this directly at aligned_gid (cols 0-9 are the kernel features)
 
 
 def build_sorted_instances(
@@ -74,22 +88,25 @@ def build_sorted_instances(
     total = offs_incl[-1]
     gtab = jnp.stack(
         [
-            counts.astype(f32),
-            proj.tile_min[:, 0].astype(f32),
-            proj.tile_min[:, 1].astype(f32),
-            rect_w.astype(f32),
             proj.mean2d[:, 0],
             proj.mean2d[:, 1],
             proj.conic[:, 0],
             proj.conic[:, 1],
             proj.conic[:, 2],
+            proj.opacity,
+            jnp.maximum(proj.color[:, 0], 0.0),
+            jnp.maximum(proj.color[:, 1], 0.0),
+            jnp.maximum(proj.color[:, 2], 0.0),
+            proj.depth,
+            counts.astype(f32),
+            proj.tile_min[:, 0].astype(f32),
+            proj.tile_min[:, 1].astype(f32),
+            rect_w.astype(f32),
             proj.power_threshold,
             offs_excl.astype(f32),  # exclusive emission offset: yields startpos for free
-            proj.depth,
         ],
         axis=1,
     )
-    gtab = jnp.pad(gtab, ((0, 0), (0, G_COLS - gtab.shape[1])))
     gtab = jax.lax.optimization_barrier(gtab)
 
     # 2. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
@@ -173,11 +190,13 @@ def build_sorted_instances(
         total_instances=total,
         max_tile_count=jnp.max(tile_count),
         n_visible=jnp.sum(proj.visible.astype(jnp.int32)),
+        emis_feat=r,
+        gtab=gtab,
     )
 
 
 def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
-                   chunk: int = CHUNK):
+                   chunk: int = CHUNK, with_gid: bool = True):
     """chunk-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
 
     Instance-side remap via ONE scatter+cummax scan (a 4M-query searchsorted costs
@@ -213,9 +232,14 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     )
     shift = jax.lax.cummax(shift_at)
     qa = pidx + shift
-    aligned_gid = (
-        jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
-    )
+    # aligned-slot gaussian ids: only needed by consumers that GATHER per-gaussian data
+    # in aligned order (the GUT kernels); the fast path packs by scattering the
+    # emission-order feature rows through qa_emis instead
+    aligned_gid = None
+    if with_gid:
+        aligned_gid = (
+            jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
+        )
     qa_emis = (
         jnp.full((max_inst,), max_aligned, jnp.int32)
         .at[inst.sorted_emis]
@@ -224,8 +248,83 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
 
+def _segred_prefix_kernel(ge_ref, rank_ref, out_ref, carry, crank, *, sub: int,
+                          exact: bool):
+    """Segmented inclusive prefix over contiguous runs — one grid step per BR rows.
+
+    Per 128-row block: A[i, j] = (rank_i == rank_j) & (j <= i), x = A @ ge on the MXU;
+    the cross-block run carry rides VMEM scratch across the SEQUENTIAL TPU grid (the
+    XLA block_mm form materializes the [nb, 128, 128] mask array through HBM — ~1.1 GB
+    at garden scale — which is the entire cost of that stage)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+        crank[:] = jnp.full_like(crank, -1)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tri = row >= col
+    for s in range(sub):
+        rb = rank_ref[s : s + 1, :]  # [1, 128] int32
+        ge_b = ge_ref[s * 128 : (s + 1) * 128, :]  # [128, W] f32
+        rcol = jnp.transpose(rb)  # [128, 1]
+        same = (rcol == rb) & tri  # [128, 128]
+        if exact:
+            a = jnp.where(same, 1.0, 0.0)
+            xb = jax.lax.dot_general(
+                a, ge_b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # fast path: ge rows are bf16-quantized upstream (the emission gather),
+            # and A is exact in bf16 — DEFAULT precision loses nothing
+            a = jnp.where(same, 1.0, 0.0).astype(jnp.bfloat16)
+            xb = jax.lax.dot_general(
+                a, ge_b.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # incoming carry joins rows of the block's FIRST run iff it continues the
+        # carried run ([1,1]-slice compares keep everything vectorized)
+        first = rb[:, 0:1]  # [1, 1]
+        match = (crank[:] == first).astype(jnp.float32)  # [1, 1]
+        in_first = (rcol == first).astype(jnp.float32)  # [128, 1]
+        xb = xb + in_first * (match * carry[:])
+        carry[:] = xb[127:128, :]
+        crank[:] = rb[:, 127:128]
+        out_ref[s * 128 : (s + 1) * 128, :] = xb
+
+
+@functools.partial(jax.jit, static_argnames=("exact", "interpret"))
+def segred_prefix_pallas(ge, rank, exact: bool = False, interpret: bool = False):
+    """ge [M, W] f32, rank [M] int32 (runs contiguous) -> segmented inclusive prefix."""
+    m, w = ge.shape
+    assert m % 128 == 0
+    br = 1024 if m % 1024 == 0 else 128
+    sub = br // 128
+    grid = m // br
+    out = pl.pallas_call(
+        functools.partial(_segred_prefix_kernel, sub=sub, exact=exact),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, w), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ge, rank.reshape(m // 128, 128))
+    return out
+
+
 def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloat16,
-                          impl: str = "block_mm"):
+                          impl: str | None = None):
     """Per-gaussian gradient totals from per-aligned-instance rows without a collision
     scatter-add: gather to emission order (segments contiguous, ids sorted), block-local
     segmented reduce + affine associative carry propagation, segment-end gathers.
@@ -235,8 +334,12 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     bounds. Emission order is gaussian-id order, so the segment-end gather lands directly
     in gid order. Returns [N, width].
 
-    impl (A/B lanes, tools/profiling/profile_segred3.py):
-    * "block_mm" (default): ONE batched MXU matmul per 128-block, `A @ x` with
+    impl (A/B lanes, tools/profiling/profile_segred3.py; None = "pallas_mm" on TPU,
+    "block_mm" elsewhere):
+    * "pallas_mm": the block_mm scheme as ONE Pallas kernel with the run carry in VMEM
+      scratch across the sequential grid (`segred_prefix_pallas`) — avoids
+      materializing the [nb, 128, 128] mask array through HBM.
+    * "block_mm": ONE batched MXU matmul per 128-block, `A @ x` with
       A[i,j] = (rank_i == rank_j) & (j <= i) — the segmented inclusive prefix, since
       runs are contiguous. (The triangular term is NOT redundant: emission slots past
       `total` hold the last gaussian's rank via the cummax fill, so the last segment's
@@ -262,6 +365,22 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     # sentinel -> 0; the segment sums and everything downstream run in f32 regardless
     # of the gather dtype (ginst may already arrive bf16 from the kernel)
     ge = ginst_pad[jnp.minimum(qem, max_aligned)].astype(jnp.float32)
+
+    if impl is None:
+        # default is block_mm EVERYWHERE: in the full step graph XLA fuses the
+        # [nb, 128, 128] mask materialization into the matmul read, beating the Pallas
+        # kernel (which is 2x faster in isolation but forces a fusion boundary on the
+        # gathered input) — 189.2 vs 193.9 ms full step (tools/profiling/profile_r4b.py)
+        import os
+
+        impl = os.environ.get("TPU_SPLAT_SEGRED_IMPL", "block_mm")
+    if impl == "pallas_mm":
+        x = segred_prefix_pallas(
+            ge, rank, exact=gather_dtype != jnp.bfloat16,
+            interpret=jax.default_backend() == "cpu",
+        )
+        per_gid = x[jnp.clip(seg_e - 1, 0, max_inst - 1)]
+        return per_gid * (seg_e > seg_s)[:, None]
 
     blk = 128
     nb = max_inst // blk
@@ -395,57 +514,53 @@ def blend_tiles_pallas(
     y0_arr = (jnp.zeros((), jnp.int32) if tile_y0 is None
               else jnp.asarray(tile_y0, jnp.int32))
 
-    def _pack(m2d, con, op, col, dep, gid):
-        if feat_bf16:
-            # hi/lo bf16 split for mean2d/conic (pair reconstructs ~f32 in-kernel),
-            # single bf16 for opacity/color/depth — see blend.py B_* layout
-            def split(x):
-                hi = x.astype(jnp.bfloat16)
-                return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            mxh, mxl = split(m2d[:, 0])
-            myh, myl = split(m2d[:, 1])
-            cah, cal = split(con[:, 0])
-            cbh, cbl = split(con[:, 1])
-            cch, ccl = split(con[:, 2])
-            b = jnp.bfloat16
-            feats = jnp.stack(
-                [mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
-                 op.astype(b), col[:, 0].astype(b), col[:, 1].astype(b),
-                 col[:, 2].astype(b), dep.astype(b)],
-                axis=1,
-            )  # [N, 15] bf16
-        else:
-            feats = jnp.stack(
-                [
-                    m2d[:, 0], m2d[:, 1],
-                    con[:, 0], con[:, 1], con[:, 2],
-                    op,
-                    col[:, 0], col[:, 1], col[:, 2],
-                    dep,
-                ],
-                axis=1,
-            )  # [N, 10]
-        gathered = jax.lax.optimization_barrier(feats[gid])  # [MAX_AL, *] row-gather
-        packed = jnp.pad(gathered, ((0, 0), (0, NFEAT - feats.shape[1])))  # [MAX_AL, 16]
-        return packed.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
+    # Pack OUTSIDE the custom_vjp: ONE row-gather into aligned order. The f32 path
+    # gathers inst.gtab directly (G_* cols 0-9 are the kernel's F_* feature layout; the
+    # junk in cols 10-15 is never read), so no separate feature table is built.
+    # Gradients flow exclusively through core's hand-written VJP (the segmented reduce
+    # is exactly the transpose of this gather); stop_gradient cuts the autodiff path
+    # through the pack itself.
+    if feat_bf16:
+        # hi/lo bf16 split for mean2d/conic (pair reconstructs ~f32 in-kernel),
+        # single bf16 for opacity/color/depth — see blend.py B_* layout
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        mxh, mxl = split(mean2d[:, 0])
+        myh, myl = split(mean2d[:, 1])
+        cah, cal = split(conic[:, 0])
+        cbh, cbl = split(conic[:, 1])
+        cch, ccl = split(conic[:, 2])
+        b = jnp.bfloat16
+        ptab = jnp.stack(
+            [mxh, mxl, myh, myl, cah, cal, cbh, cbl, cch, ccl,
+             opacity.astype(b), color[:, 0].astype(b), color[:, 1].astype(b),
+             color[:, 2].astype(b), depth.astype(b)],
+            axis=1,
+        )  # [N, 15] bf16
+        ptab = jnp.pad(ptab, ((0, 0), (0, NFEAT - ptab.shape[1])))
+    else:
+        ptab = inst.gtab
+    flat = jax.lax.optimization_barrier(ptab[aligned_gid])  # [MAX_AL, 16] row-gather
+    packed = flat.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
+    packed = jax.lax.stop_gradient(packed)
 
     @jax.custom_vjp
-    def core(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, y0):
-        packed = _pack(m2d, con, op, col, dep, gid)
-        out, _ = blend_forward(packed, rstart, count, tile_y0=y0, **statics)
+    def core(m2d, con, op, col, dep, pk, rstart, count, qem, rank, seg_s, seg_e, y0):
+        out, _ = blend_forward(pk, rstart, count, tile_y0=y0, **statics)
         return out[:, :, :5]
 
-    def core_fwd(m2d, con, op, col, dep, gid, rstart, count, qem, rank, seg_s, seg_e, y0):
-        packed = _pack(m2d, con, op, col, dep, gid)
-        out, chk = blend_forward(packed, rstart, count, tile_y0=y0, **statics)
-        return out[:, :, :5], (packed, chk, out, gid, rstart, count, qem, rank, seg_s,
+    def core_fwd(m2d, con, op, col, dep, pk, rstart, count, qem, rank, seg_s, seg_e, y0):
+        out, chk = blend_forward(pk, rstart, count, tile_y0=y0, **statics)
+        return out[:, :, :5], (pk, chk, out, rstart, count, qem, rank, seg_s,
                                seg_e, y0)
 
     def core_bwd(res, g5):
-        packed, chk, out, gid, rstart, count, qem, rank, seg_s, seg_e, y0 = res
+        pk, chk, out, rstart, count, qem, rank, seg_s, seg_e, y0 = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
         gdt = jnp.bfloat16 if grad_bf16 else jnp.float32
-        gpacked = blend_backward(packed, rstart, count, chk, out, gout, tile_y0=y0,
+        gpacked = blend_backward(pk, rstart, count, chk, out, gout, tile_y0=y0,
                                  grad_dtype=gdt, **statics)
         # strided feature slices + stack instead of a minor-dim transpose of the whole
         # [R, 16, 128] block (XLA's minor transpose of that shape measured ~330 ms)
@@ -462,12 +577,14 @@ def blend_tiles_pallas(
         def f0(y):
             return np.zeros(y.shape, dtype=jax.dtypes.float0)
 
-        return (g_m2d, g_con, g_op, g_col, g_dep, f0(gid), f0(rstart), f0(count),
-                f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(y0))
+        # pk's cotangent is discarded by the stop_gradient at the call site (its true
+        # adjoint is the segmented reduce above); zeros here are DCE'd
+        return (g_m2d, g_con, g_op, g_col, g_dep, jnp.zeros_like(pk), f0(rstart),
+                f0(count), f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(y0))
 
     core.defvjp(core_fwd, core_bwd)
 
-    out5 = core(mean2d, conic, opacity, color, depth, aligned_gid, row_start, count_capped,
+    out5 = core(mean2d, conic, opacity, color, depth, packed, row_start, count_capped,
                 qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, y0_arr)
     tile_colors = out5[:, :, 0:3]
     tile_alpha = 1.0 - out5[:, :, 3]

@@ -439,9 +439,11 @@ class Trainer:
             width=w, height=h, plan=self.plan, opt=cfg,
             total_iterations=self.opt.iterations,
         )
-        # budget checks cover the whole chunk (max); loss_hist logs the last step
+        # budget checks cover the whole chunk (max); loss keeps the full [K] vector so
+        # the history records every step (chunking is a launch optimization, not a
+        # change to the training record)
         reduced = StepStats(
-            loss=stats.loss[-1],
+            loss=stats.loss,
             total_instances=stats.total_instances.max(),
             max_tile_count=stats.max_tile_count.max(),
             n_visible=stats.n_visible.max(),
@@ -524,8 +526,12 @@ class Trainer:
                 self.state = chk.prev_state
                 pending.clear()
                 return chk.iteration
-            self._loss_hist.append(float(chk.stats.loss))
+            self._record_losses(chk)
         return None
+
+    def _record_losses(self, chk: "PendingStep") -> None:
+        """Append a checked step's loss(es); scan chunks carry a [K] vector."""
+        self._loss_hist.extend(float(v) for v in np.ravel(np.asarray(chk.stats.loss)))
 
     def _topology_hooks(self, it: int) -> None:
         """Strategy + sparsity schedule (runs with no steps in flight)."""
@@ -626,7 +632,7 @@ class Trainer:
                         it = chk.iteration
                         pending.clear()
                         continue
-                    self._loss_hist.append(float(chk.stats.loss))
+                    self._record_losses(chk)
 
                 if self._needs_topology_hook(it):
                     redo = self._flush_pending(pending)
