@@ -556,12 +556,15 @@ def _bwd_kernel(
     t_final = out_ref[0, :, 3:4]
     s0 = t_final * gt  # dL through T_final, folded into the suffix term
     # cdotg = sum_k gout_k * color_k as ONE MXU matmul [P, 4] x [4, C] instead of 7 VPU
-    # [P, C] passes per chunk; only on the bf16 feature path, whose color rows are
-    # already bf16-quantized (the matmul's DEFAULT-precision bf16 rounding of gout adds
-    # nothing beyond the existing pack rounding budget — see the suffix-sum comment)
-    cdotg_mm = feat_bf16
-    if cdotg_mm:
+    # [P, C] passes per chunk. bf16 feature path: DEFAULT-precision bf16 operands (the
+    # color rows are already bf16-quantized; the gout rounding adds nothing beyond the
+    # existing pack budget). f32 path: hi/lo split of the hoisted gout matrix (3
+    # matmuls, ~2^-16 relative — still far cheaper than the 7 VPU passes).
+    if feat_bf16:
         gmat = jnp.concatenate([gr, gg, gb, gd], axis=-1).astype(jnp.bfloat16)  # [P, 4]
+    else:
+        gmh, gml = _hl(jnp.concatenate([gr, gg, gb, gd], axis=-1))
+        gmh, gml = gmh.astype(jnp.float32), gml.astype(jnp.float32)
     if basis_red or sigma_mm:
         tile_cx = ((t % grid_w) * tile_size + tile_size // 2).astype(jnp.float32)
         tile_cy = ((t // grid_w + y0_ref[0]) * tile_size + tile_size // 2).astype(
@@ -624,12 +627,13 @@ def _bwd_kernel(
         usef = jnp.where(use, 1.0, 0.0)
         w = usef * a * t_excl  # [P, C]
 
-        if cdotg_mm:
-            c0 = B_R
-            col4 = data[c0 : c0 + 4, :]  # [4, C] bf16 rows (r, g, b, depth)
+        if feat_bf16:
+            col4 = data[B_R : B_R + 4, :]  # [4, C] bf16 rows (r, g, b, depth)
             cdotg = _mm(gmat, col4)  # [P, C] f32 accumulation
         else:
-            cdotg = cr * gr + cg * gg + cb_ * gb + cd * gd  # [P, C]
+            c4h, c4l = _hl(data[F_R : F_R + 4, :])  # [4, C] — negligible next to [P, C]
+            c4h, c4l = c4h.astype(jnp.float32), c4l.astype(jnp.float32)
+            cdotg = _mm(gmh, c4h) + _mm(gmh, c4l) + _mm(gml, c4h)
 
         u = w * cdotg
         # strictly-later-lane suffix sum as one MXU matmul; total rides for free.

@@ -44,6 +44,152 @@ from .blend import CHUNK, NFEAT, blend_backward, blend_forward
 G_COLS = 16  # one f32 lane-tile row
 
 
+EXPAND_OUT = 512  # emission slots per expand-kernel block (output lanes)
+EXPAND_WIN = 512  # gaussian window lanes fetched per while-loop trip
+# kernel-table row layout (independent of the G_* gtab column order): rows 0-5 are the
+# contribution-test inputs (kept bit-exact via a third split term), 6-10 tolerate the
+# two-term split (depth: ~2^-18 — far below the packed sort key's own >=2^-7 depth
+# truncation; counts/tmin/rect: small ints, exact in 16 bits), 11-12 are REBASED
+# in-kernel so 16 bits suffice exactly, 13 is the ownership indicator that
+# reconstructs `pos` from the per-window rebase.
+(KR_MX, KR_MY, KR_CA, KR_CB, KR_CC, KR_PTH, KR_DEPTH, KR_COUNT, KR_TMINX, KR_TMINY,
+ KR_RECTW, KR_K, KR_POS, KR_ONE) = range(14)
+KR_ROWS = 16
+_EXPAND_EXACT3 = 8  # rows 0-7 get the third (exactness) split term
+
+
+def _expand_kernel(win_start_ref, gtabt_ref, out_ref, buf, sem, *, n_pad: int):
+    """Instance expansion as windowed one-hot matmuls (replaces scatter+cummax+gather).
+
+    Emission slots are gaussian-major: slot i belongs to gaussian g iff
+    offs[g] <= i < offs[g] + count[g], and offs is the cumsum of counts — so the
+    gaussians covering an EXPAND_OUT-slot block form a CONTIGUOUS index window. Per
+    block: DMA the [16, EXPAND_WIN] feature window (sequential HBM read — no random
+    row gather), build the one-hot ownership mask from the window's own offs/count
+    rows, and multiply it onto the features (one MXU matmul — the bf16 split terms
+    ride as stacked rows, all under the 128-sublane pad). Windows advance in a while
+    loop, so arbitrarily sparse visibility stays correct (total DMA is bounded by ~2
+    sequential reads of the table). Replaces XLA ops measured at 12.7 ms (pos scatter)
+    + 17 ms (emission row gather).
+
+    Exactness: ownership is one-hot, so every matmul output has exactly ONE nonzero
+    term — the only rounding is each row's own bf16-split truncation. Rows 0-7 carry a
+    third split term (24 mantissa bits: bit-exact f32). The offs row is rebased to the
+    block origin and the gid row to the window origin in-kernel, bounding the owned
+    values to < 2^13 — exact in the two 8-bit terms; `pos` is reconstructed from the
+    per-window rebase via the indicator row, and the offs row is emitted directly as
+    k = slot - offs. Slots past `total` are owned by nothing: their columns are zero
+    (k row = local slot id), masked downstream by `inst_id < total`."""
+    b = pl.program_id(0)
+    # Mosaic requires lane-dim HBM slices at 128-aligned offsets: round the window
+    # start down (costs < 128 already-covered lanes per window)
+    base = pl.multiple_of((win_start_ref[b] // 128) * 128, 128)
+    # slot ids as the ROW dim of the ownership mask: both mask operands broadcast
+    # without any in-kernel transpose. Rebased by the block origin (exact f32 ints).
+    ig_loc = jax.lax.broadcasted_iota(jnp.int32, (EXPAND_OUT, 1), 0).astype(jnp.float32)
+    bb = (b * EXPAND_OUT).astype(jnp.float32)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (KR_ROWS, 1), 0)
+
+    def get_dma(slot, w):
+        # no clamp: the caller pads the table by >= 2*EXPAND_WIN finite-huge-offs
+        # columns, so every processed window AND the one speculative prefetch past
+        # `done` stay in bounds (a clamp could re-fetch an already-processed window
+        # and double-count)
+        return pltpu.make_async_copy(
+            gtabt_ref.at[:, pl.ds(base + w * EXPAND_WIN, EXPAND_WIN)], buf.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0).start()
+
+    def cond(c):
+        w, acc, posfix, done = c
+        return jnp.logical_not(done)
+
+    def body(c):
+        w, acc, posfix, _ = c
+        slot = jax.lax.rem(w, 2)
+        get_dma(slot, w).wait()
+        get_dma(1 - slot, w + 1).start()  # speculative (bounds padded)
+        off_w = (base + w * EXPAND_WIN).astype(jnp.float32)
+        win = buf[slot]  # [16, EXPAND_WIN]
+        # one subtract pass rebases the offs row by the block origin and the gid row
+        # by the window origin (owned values then fit 16 bits exactly)
+        reb = jnp.where(row_id == KR_K, bb, 0.0) + jnp.where(row_id == KR_POS, off_w, 0.0)
+        win = win - reb
+        offs = win[KR_K : KR_K + 1, :]  # [1, W] block-rebased offs (huge pad tail)
+        cnt = win[KR_COUNT : KR_COUNT + 1, :]
+        oh = jnp.where(
+            (offs <= ig_loc) & (ig_loc < offs + cnt), 1.0, 0.0
+        ).astype(jnp.bfloat16)  # [OUT, W] ownership (exact 0/1 in bf16)
+        # separate matmuls per split term — an in-kernel sublane CONCAT of the terms
+        # into one matmul operand measured +25 ms at garden scale (Mosaic relayout)
+        mm = lambda a_: jax.lax.dot_general(
+            a_, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        h1 = win.astype(jnp.bfloat16)
+        r1 = win - h1.astype(jnp.float32)
+        h2 = r1.astype(jnp.bfloat16)
+        m1 = mm(h1)  # carries the exact indicator row (ones: h2 term is zero)
+        acc = acc + m1 + mm(h2)
+        if _EXPAND_EXACT3:
+            h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)[:_EXPAND_EXACT3]
+            m3 = jax.lax.dot_general(
+                h3, oh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc = acc + jnp.concatenate(
+                [m3, jnp.zeros((KR_ROWS - _EXPAND_EXACT3, EXPAND_OUT), jnp.float32)],
+                axis=0,
+            )
+        # pos reconstruction: this window's ownership indicator times its origin
+        posfix = posfix + off_w * m1[KR_ONE : KR_ONE + 1]
+        # stop once the NEXT window cannot own any slot of this block: the last
+        # fetched gaussian already starts past the block end (offs monotone; the
+        # huge-offs padding guarantees termination at the table tail)
+        done = offs[0, EXPAND_WIN - 1] > ig_loc[EXPAND_OUT - 1, 0]
+        return w + 1, acc, posfix, done
+
+    w, acc, posfix, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((KR_ROWS, EXPAND_OUT), jnp.float32),
+                     jnp.zeros((1, EXPAND_OUT), jnp.float32), jnp.bool_(False))
+    )
+    get_dma(jax.lax.rem(w, 2), w).wait()  # drain the speculative prefetch
+    # emit k = slot - offs directly (both block-rebased: local iota minus the rebased
+    # offs) and pos = rebased-gid sum + per-window origin fix
+    loc_row = jax.lax.broadcasted_iota(jnp.int32, (1, EXPAND_OUT), 1).astype(jnp.float32)
+    out_ref[:] = jnp.where(
+        row_id == KR_K, loc_row - acc,
+        jnp.where(row_id == KR_POS, acc + posfix, acc),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_instances", "interpret"))
+def expand_emission(gtabt, win_start, *, max_instances: int, interpret: bool = False):
+    """gtabt [KR_ROWS, N_pad] (feature-major KR_* layout), win_start [nb] int32 ->
+    r_t [KR_ROWS, MAX_INST] per-emission-slot rows (KR_K = rect-walk k, KR_POS =
+    owning gaussian id, KR_ONE = owned indicator)."""
+    rows, n_pad = gtabt.shape
+    assert rows == KR_ROWS
+    assert max_instances % EXPAND_OUT == 0
+    nb = max_instances // EXPAND_OUT
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, n_pad=n_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((rows, EXPAND_OUT), lambda b, *_: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, EXPAND_WIN), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, max_instances), jnp.float32),
+        interpret=interpret,
+    )(win_start, gtabt)
+
+
 class SortedInstances(NamedTuple):
     sorted_tile_id: jax.Array  # [MAX_INST] int32 (sentinel n_tiles at the tail)
     sorted_gid: jax.Array  # [MAX_INST] int32
@@ -56,15 +202,13 @@ class SortedInstances(NamedTuple):
     total_instances: jax.Array  # [] int32 (conservative rect total)
     max_tile_count: jax.Array  # [] int32
     n_visible: jax.Array  # [] int32
-    emis_feat: jax.Array = None  # [MAX_INST, 16] f32 — per-instance features in
-    # emission order (G_* layout; cols 0-9 are the blend kernel's F_* features)
     gtab: jax.Array = None  # [N, 16] f32 per-gaussian table (G_* layout) — the f32
     # pack gathers this directly at aligned_gid (cols 0-9 are the kernel features)
 
 
 def build_sorted_instances(
     proj: Projected, grid_w: int, grid_h: int, max_instances: int, tile_size: int,
-    tile_y0=0, packed_key_sort: bool = True,
+    tile_y0=0, packed_key_sort: bool = True, expand: str | None = None,
 ) -> SortedInstances:
     """Instance emission + (tile, depth) two-key sort, gather-minimal.
 
@@ -108,36 +252,94 @@ def build_sorted_instances(
         axis=1,
     )
     gtab = jax.lax.optimization_barrier(gtab)
-
-    # 2. instance expansion via scatter+cummax (cheaper than jnp.repeat's searchsorted)
-    starts = jnp.where(counts > 0, offs_excl, max_instances)
     arange_n = jnp.arange(n, dtype=jnp.int32)
-    pos = (
-        jnp.zeros((max_instances,), jnp.int32)
-        .at[starts]
-        .max(arange_n, mode="drop")
-    )
-    pos = jax.lax.cummax(pos)  # [MAX_INST] gaussian id per emission slot
-
     inst_id = jnp.arange(max_instances, dtype=jnp.int32)
 
-    r = jax.lax.optimization_barrier(gtab[pos])  # [MAX_INST, 16] ONE row-gather
-    k = inst_id.astype(f32) - r[:, G_OFFS]  # offs_excl < 2^22: exact in f32
-    in_range = (inst_id < total) & (k < r[:, G_COUNT])
+    # 2. instance expansion — per-emission-slot feature rows.
+    if expand is None:
+        import os
+
+        expand = os.environ.get(
+            "TPU_SPLAT_EXPAND",
+            "pallas" if max_instances % EXPAND_OUT == 0 else "xla",
+        )
+    if expand == "pallas":
+        # windowed one-hot expansion kernel (see _expand_kernel): replaces the pos
+        # scatter+cummax AND the emission row-gather with sequential-bandwidth DMA +
+        # one MXU matmul per window.
+        kr_rows = [None] * KR_ROWS
+        kr_rows[KR_MX] = gtab[:, G_MX]
+        kr_rows[KR_MY] = gtab[:, G_MY]
+        kr_rows[KR_CA] = gtab[:, G_CA]
+        kr_rows[KR_CB] = gtab[:, G_CB]
+        kr_rows[KR_CC] = gtab[:, G_CC]
+        kr_rows[KR_PTH] = gtab[:, G_PTH]
+        kr_rows[KR_DEPTH] = gtab[:, G_DEPTH]
+        kr_rows[KR_COUNT] = gtab[:, G_COUNT]
+        kr_rows[KR_TMINX] = gtab[:, G_TMINX]
+        kr_rows[KR_TMINY] = gtab[:, G_TMINY]
+        kr_rows[KR_RECTW] = gtab[:, G_RECTW]
+        kr_rows[KR_K] = gtab[:, G_OFFS]
+        kr_rows[KR_POS] = arange_n.astype(f32)
+        kr_rows[KR_ONE] = jnp.ones((n,), f32)
+        zero_row = jnp.zeros((n,), f32)
+        kr_rows = [zero_row if row is None else row for row in kr_rows]
+        gtabt = jnp.stack(kr_rows, axis=0)  # [16, N]
+        # the ownership mask multiplies every window column — a single inf/NaN (GUT's
+        # deliberate power_threshold=inf, culled-row garbage) would poison the whole
+        # block via 0*inf=NaN. 1e30 is "infinite" for every downstream comparison
+        # (slots < 2^24, max_power finite) and multiplies to an exact 0.
+        gtabt = jnp.clip(jnp.nan_to_num(gtabt, posinf=1e30, neginf=-1e30), -1e30, 1e30)
+        padc = -(n + 2 * EXPAND_WIN) % 128 + 2 * EXPAND_WIN
+        pad_block = jnp.zeros((KR_ROWS, padc), f32).at[KR_K].set(1e30)
+        # emission/culling is non-differentiable bookkeeping (same as the reference's
+        # instance pipeline); gradients reach the per-gaussian params through the blend
+        # custom VJP, never through r_t
+        gtabt = jax.lax.stop_gradient(jnp.concatenate([gtabt, pad_block], axis=1))
+        blk_starts = jnp.arange(max_instances // EXPAND_OUT, dtype=jnp.int32) * EXPAND_OUT
+        win_start = jnp.searchsorted(offs_incl, blk_starts, side="right").astype(
+            jnp.int32
+        )
+        r_t = expand_emission(
+            gtabt, win_start, max_instances=max_instances,
+            interpret=jax.default_backend() == "cpu",
+        )
+        r_t = jax.lax.optimization_barrier(r_t)
+        kr_of = {G_MX: KR_MX, G_MY: KR_MY, G_CA: KR_CA, G_CB: KR_CB, G_CC: KR_CC,
+                 G_PTH: KR_PTH, G_DEPTH: KR_DEPTH, G_COUNT: KR_COUNT,
+                 G_TMINX: KR_TMINX, G_TMINY: KR_TMINY, G_RECTW: KR_RECTW}
+        col = lambda i: r_t[kr_of[i]]
+        pos = r_t[KR_POS].astype(jnp.int32)
+        k = r_t[KR_K]
+    else:
+        # XLA fallback: scatter+cummax fill of the owning gaussian id, then one wide
+        # row-gather (measured 12.7 + 17 ms at garden scale)
+        starts = jnp.where(counts > 0, offs_excl, max_instances)
+        pos = (
+            jnp.zeros((max_instances,), jnp.int32)
+            .at[starts]
+            .max(arange_n, mode="drop")
+        )
+        pos = jax.lax.cummax(pos)  # [MAX_INST] gaussian id per emission slot
+        r = jax.lax.optimization_barrier(gtab[pos])  # [MAX_INST, 16] ONE row-gather
+        col = lambda i: r[:, i]
+        k = inst_id.astype(f32) - col(G_OFFS)  # offs_excl < 2^22: exact in f32
+
+    in_range = (inst_id < total) & (k < col(G_COUNT))
 
     # tile coords via float division (k < ~2^20, rect_w < 2^11: exact)
-    rw = r[:, G_RECTW]
+    rw = col(G_RECTW)
     ky = jnp.floor(k / rw)
     kx = k - ky * rw
-    tile_x = (r[:, G_TMINX] + kx).astype(jnp.int32)
-    tile_y = (r[:, G_TMINY] + ky).astype(jnp.int32)
+    tile_x = (col(G_TMINX) + kx).astype(jnp.int32)
+    tile_y = (col(G_TMINY) + ky).astype(jnp.int32)
 
     # 3. exact per-tile contribution test (replaces the reference's exact-count prepass);
     # tile_y is window-local under multi-chip tile-row sharding — shift to global pixels
     contrib = will_contribute(
-        r[:, G_MX : G_MY + 1],  # [MAX, 2] mean2d view
-        r[:, G_CA : G_CC + 1],  # [MAX, 3] conic view
-        tile_x, tile_y + tile_y0, r[:, G_PTH], tile_size,
+        jnp.stack([col(G_MX), col(G_MY)], axis=-1),  # [MAX, 2] mean2d
+        jnp.stack([col(G_CA), col(G_CB), col(G_CC)], axis=-1),  # [MAX, 3] conic
+        tile_x, tile_y + tile_y0, col(G_PTH), tile_size,
     )
     valid = in_range & contrib
     tile_id = jnp.where(valid, tile_y * grid_w + tile_x, n_tiles)
@@ -155,7 +357,7 @@ def build_sorted_instances(
     db = 31 - tb
     if packed_key_sort and db >= 16:
         depth_bits = jax.lax.bitcast_convert_type(
-            jnp.maximum(r[:, G_DEPTH], 0.0), jnp.int32
+            jnp.maximum(col(G_DEPTH), 0.0), jnp.int32
         )
         key = jnp.where(
             valid,
@@ -167,7 +369,7 @@ def build_sorted_instances(
         )
         sorted_tile_id = jax.lax.shift_right_logical(sorted_key, db)
     else:
-        depth_key = jnp.where(valid, r[:, G_DEPTH], jnp.inf)
+        depth_key = jnp.where(valid, col(G_DEPTH), jnp.inf)
         sorted_tile_id, _, sorted_gid, sorted_emis = jax.lax.sort(
             (tile_id, depth_key, pos, inst_id), num_keys=2, is_stable=True
         )
@@ -190,7 +392,6 @@ def build_sorted_instances(
         total_instances=total,
         max_tile_count=jnp.max(tile_count),
         n_visible=jnp.sum(proj.visible.astype(jnp.int32)),
-        emis_feat=r,
         gtab=gtab,
     )
 
@@ -232,19 +433,19 @@ def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
     )
     shift = jax.lax.cummax(shift_at)
     qa = pidx + shift
-    # aligned-slot gaussian ids: only needed by consumers that GATHER per-gaussian data
-    # in aligned order (the GUT kernels); the fast path packs by scattering the
-    # emission-order feature rows through qa_emis instead
+    # aligned-slot gaussian ids (per-gaussian gathers in aligned order — the pack and
+    # the GUT feature tables)
     aligned_gid = None
     if with_gid:
         aligned_gid = (
             jnp.zeros((max_aligned,), jnp.int32).at[qa].set(inst.sorted_gid, mode="drop")
         )
-    qa_emis = (
-        jnp.full((max_inst,), max_aligned, jnp.int32)
-        .at[inst.sorted_emis]
-        .set(qa, mode="drop")
-    )
+    # emission -> aligned map: invert the (sorted_emis, qa) pairing by SORTING on the
+    # emission index instead of scattering qa at sorted_emis — a 1-key/1-payload int32
+    # sort costs ~half of XLA's element scatter at this size (12.7 ms/M updates,
+    # tools/profiling notes r4). sorted_emis is a permutation of [0, max_inst), so the
+    # sort output is dense in emission order.
+    _, qa_emis = jax.lax.sort((inst.sorted_emis, qa), num_keys=1, is_stable=False)
     return row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows
 
 
@@ -491,6 +692,9 @@ def blend_tiles_pallas(
 
     Returns (tile_colors [T, P, 3], tile_alpha [T, P], tile_depth [T, P])."""
     assert tile_size * tile_size % 128 == 0, "pixel count per tile must be lane-aligned"
+    assert inst.sorted_gid.shape[0] % chunk == 0, (
+        f"max_instances {inst.sorted_gid.shape[0]} must be a multiple of chunk {chunk}"
+    )
     n_tiles = grid_w * grid_h
     n = mean2d.shape[0]
     max_inst = inst.sorted_gid.shape[0]
