@@ -141,7 +141,13 @@ def main():
     mpix_per_s = iters_per_s * width * height / 1e6
 
     # single-launch rate: the like-for-like denominator for the mesh-overhead ratio
-    # (the mesh lane below launches one batched step per call)
+    # (the mesh lane below launches one batched step per call). Warm up OUTSIDE the
+    # timed loop: the probe step above compiled with the PROBE plan, so the first call
+    # here compiles the final bucketed shapes (~40 s uncached — BENCH_r04's
+    # plain_iters_per_s=0.222 artifact was exactly this compile landing in the timing).
+    for _ in range(2):
+        ts, stats = train_step(ts, *args, **kwargs)
+    _ = float(stats.loss)  # device_get sync
     t0 = time.perf_counter()
     for _ in range(10):
         ts, stats = train_step(ts, *args, **kwargs)
