@@ -219,19 +219,22 @@ def test_blend_kernel_variants_on_chip():
          rng.uniform(-0.3, 0.3, N) * np.sqrt(ca * cc), cc,
          rng.uniform(0.1, 1.0, N)] + [rng.uniform(0, 1, N)] * 3
         + [rng.uniform(1, 10, N)], 1).astype(np.float32)
-    packed = np.zeros((n_rows, NFEAT, CH), np.float32)
-    packed[:, :10, :] = feats.reshape(n_rows, CH, 10).transpose(0, 2, 1)
-    packed = jnp.asarray(packed)
-    row_start = jnp.asarray([0, 2, 4, 6, 8, 10], jnp.int32)
+    # flat feature-major table; CONTIGUOUS UNALIGNED segments (tail chunks overlap the
+    # next tile's columns — exercises Mosaic's real unaligned column DMA + the
+    # grid-order overlap resolution of the backward writes on hardware)
+    flat = np.zeros((NFEAT, N + max_chunks * CH + 128), np.float32)
+    flat[:10, :N] = feats.T
+    flat = jnp.asarray(flat)
     count = jnp.asarray([512, 512, 500, 512, 100, 300], jnp.int32)
+    seg_start = jnp.asarray([0, 512, 1024, 1524, 2036, 2136], jnp.int32)
     kw = dict(n_tiles=n_tiles, grid_w=GW, tile_size=TS, max_chunks=max_chunks, chunk=CH)
 
-    o0, c0 = blend_forward(packed, row_start, count, **kw)
-    o1, _ = blend_forward(packed, row_start, count, sigma_mm=True, **kw)
+    o0, c0 = blend_forward(flat, seg_start, count, **kw)
+    o1, _ = blend_forward(flat, seg_start, count, sigma_mm=True, **kw)
     # sigma_mm error scales with tile radius^2 (~1e-3 absolute sigma at TS=16; this
     # test runs TS=32, quadrupling the hi/lo expansion terms — measured 2.8e-3)
     assert float(jnp.max(jnp.abs(o0 - o1)[:, :, :4])) < 8e-3
-    o2, _ = blend_forward(packed, row_start, count, base2=True, **kw)
+    o2, _ = blend_forward(flat, seg_start, count, base2=True, **kw)
     # value-identical math, but the chip's exp2/log2 round differently from exp/log
     # by ~1 ulp and the T chain compounds it (measured 7.3e-4; CPU interpret <1e-5)
     assert float(jnp.max(jnp.abs(o0 - o2)[:, :, :4])) < 2e-3
@@ -239,7 +242,7 @@ def test_blend_kernel_variants_on_chip():
     gout = jnp.asarray(rng.normal(0, 0.3, (n_tiles, P, 8)).astype(np.float32))
     # exact reference: stacked-product reduction, exact divides, VPU sigma
     exact = dict(basis_red=False, approx_recip=False, sigma_mm=False)
-    g0 = blend_backward(packed, row_start, count, c0, o0, gout, **exact, **kw)
+    g0 = blend_backward(flat, seg_start, count, c0, o0, gout, **exact, **kw)
     scale = float(jnp.max(jnp.abs(g0))) + 1e-12
     for extra, tol in (
         (dict(), 2e-2),  # PRODUCTION path: basis_red + approx_recip + sigma_mm
@@ -252,5 +255,14 @@ def test_blend_kernel_variants_on_chip():
         (dict(red_sum=True, **exact), 1e-2),
         (dict(base2=True, **exact), 5e-3),  # value-identical; chip exp2/log2 ulp diffs
     ):
-        g1 = blend_backward(packed, row_start, count, c0, o0, gout, **extra, **kw)
+        g1 = blend_backward(flat, seg_start, count, c0, o0, gout, **extra, **kw)
         assert float(jnp.max(jnp.abs(g0 - g1))) / scale < tol, extra
+    # overlap/ownership invariant on hardware: columns past each tile's count up to
+    # the next start (and the padded tail) hold ZERO gradients
+    g = np.asarray(g0)
+    starts = np.asarray(seg_start)
+    cnts = np.asarray(count)
+    for t in range(n_tiles):
+        lo = int(starts[t] + cnts[t])
+        hi = int(starts[t + 1]) if t + 1 < n_tiles else g.shape[1]
+        assert np.all(g[:, lo:hi] == 0.0), t

@@ -14,12 +14,23 @@ kernels_backward.cuh:240-449 `blend_backward_cu`). Same math, different parallel
     idea, chunk=128) and accumulates per-instance gradients into disjoint column ranges —
     no atomics.
 
-Instance features arrive feature-major [16, MAX_INST+pad] in tile-sorted depth order
-(see raster.py). Per-tile segments are *unaligned* — the kernel DMAs arbitrary-offset
-[16, 128] column slices (DMAs have no lane-alignment constraint; only vector load/stores
-do) and masks the segment tail by lane index. Segment boundaries may be overwritten by the
-next grid step's backward DMA, which is safe because TPU grid steps execute sequentially
-and segments are written in tile order.
+Instance features arrive feature-major [16, M_pad] in tile-sorted depth order
+(see raster.py). Per-tile segments are *unaligned*. Mosaic cannot slice HBM memrefs at
+unproven lane offsets (tpu.memref_slice demands divisibility by the 128-lane tiling), so
+unaligned access is built from proven-aligned pieces (tools/profiling/
+test_unaligned_roll.py validates the scheme on hardware):
+
+  * reads: DMA the 128-rounded-down window [16, chunk+128] and pltpu.roll the buffer by
+    the (dynamic) residue — roll amounts must be POSITIVE (width - off); a negative
+    dynamic shift mis-lowers on this toolchain. Tail lanes past `count` read the next
+    tile's columns and are masked by lane index.
+  * backward writes: per-chunk gradients land in a per-tile VMEM accumulator at their
+    chunk slot (VMEM->VMEM DMA), which is rolled to the residue offset once per tile and
+    written as ONE aligned [16, L+128] window. The window's head 128-lane tile is
+    ADD-merged with the previous tiles' already-written values (one HBM read per tile);
+    zero-masked tail lanes overwrite nothing that a LATER tile doesn't rewrite, because
+    TPU grid steps execute sequentially in tile order and each column's owner writes
+    last.
 
 Blend semantics preserved exactly (rasterization_config.h:11-30):
   sigma >= 0; alpha = min(opac * exp(-sigma), 0.999), skip if < 1/255;
@@ -35,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# feature-row indices in the packed [R, 16, 128] instance array (f32 layout)
+# feature-row indices in the flat [16, M_pad] instance table (f32 layout)
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_D = range(10)
 NFEAT = 16  # padded to a (16, 128) f32 tile
 
@@ -337,9 +348,9 @@ def _bwd_basis(px, py, tile_cx, tile_cy, gout_rows):
 
 
 def _fwd_kernel(
-    row_start_ref, count_ref,  # scalar prefetch [T] int32 (chunk-row offset, capped count)
+    seg_start_ref, count_ref,  # scalar prefetch [T] int32 (element offset, capped count)
     y0_ref,  # scalar prefetch [1] int32 (tile-row offset for multi-chip windows)
-    packed_ref,  # [R, 16, 128] ANY (HBM): one [16, 128] feature block per chunk
+    flat_ref,  # [16, M_pad] ANY (HBM): feature-major instance table, tile-sorted order
     out_ref,  # [1, P, 8] VMEM: cols 0-2 rgb, 3 final transmittance
     chk_ref,  # [1, P, MAXC] VMEM: per-chunk entry transmittance (0 where dead)
     buf, chk_s, sems,  # scratch
@@ -353,7 +364,7 @@ def _fwd_kernel(
     base2: bool = False,
 ):
     t = pl.program_id(0)
-    row0 = row_start_ref[t]
+    seg0 = seg_start_ref[t]
     count = count_ref[t]
     nch = (count + chunk - 1) // chunk
     p = tile_size * tile_size
@@ -369,8 +380,26 @@ def _fwd_kernel(
             jnp.float32)
         bh, bl = _pixel_basis(px, py, tile_cx, tile_cy)
 
+    # UNALIGNED segment reads: DMA the 128-rounded-down [16, chunk+128] window (offset
+    # provably tiling-aligned), roll by the residue in-register. Tail lanes overread
+    # the next tile's columns (masked by lane_valid); the caller pads the table so
+    # every window stays in bounds.
+    base = pl.multiple_of((seg0 // 128) * 128, 128)
+    off = seg0 - base
+
     def get_dma(slot, j):
-        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            flat_ref.at[:, pl.ds(base + j * chunk, chunk + 128)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    def aligned_window(slot):
+        # positive-equivalent dynamic roll (negative shifts mis-lower); lanes [0, chunk)
+        # of the result are the segment's lanes [j*chunk, (j+1)*chunk). The roll runs
+        # in f32 — tpu.dynamic_rotate supports only 32-bit data; the upcast is one
+        # [16, chunk+128] pass and every consumer upcasts the rows anyway.
+        w = buf[slot].astype(jnp.float32)
+        return pltpu.roll(w, (chunk + 128) - off, axis=1)[:, :chunk]
 
     @pl.when(nch > 0)
     def _():
@@ -389,7 +418,7 @@ def _fwd_kernel(
         def _():
             get_dma(1 - slot, j + 1).start()
 
-        data = buf[slot]  # [16, chunk]
+        data = aligned_window(slot)  # [16, chunk]
         # checkpoint the chunk-entry transmittance (0 encodes "already stopped").
         # Mosaic forbids dynamic lane-index stores; a masked full-width select updates
         # one column of the [P, MAXC] scratch instead.
@@ -448,8 +477,9 @@ def _fwd_kernel(
                               "interpret", "block_scan", "sigma_mm", "base2")
 )
 def blend_forward(
-    packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
-    row_start: jax.Array,  # [T] int32 chunk-row offsets into packed
+    flat: jax.Array,  # [16, M_pad] f32 (or bf16 in the hi/lo feature layout),
+    # feature-major, tile-sorted instance order, padded by >= chunk columns
+    seg_start: jax.Array,  # [T] int32 UNALIGNED element offsets into flat
     tile_count: jax.Array,  # [T] int32 (already capped at k_max)
     *,
     n_tiles: int,
@@ -468,7 +498,7 @@ def blend_forward(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
-    feat_bf16 = packed.dtype == jnp.bfloat16
+    feat_bf16 = flat.dtype == jnp.bfloat16
     y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
           else jnp.asarray(tile_y0, jnp.int32).reshape(1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -482,7 +512,7 @@ def blend_forward(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, chunk), packed.dtype),
+            pltpu.VMEM((2, NFEAT, chunk + 128), flat.dtype),
             pltpu.VMEM((p, max_chunks), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -500,7 +530,7 @@ def blend_forward(
         # 16 MiB scoped-vmem budget; v5e has far more physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(row_start, tile_count, y0, packed)
+    )(seg_start, tile_count, y0, flat)
     return out, chk
 
 
@@ -508,14 +538,14 @@ def blend_forward(
 
 
 def _bwd_kernel(
-    row_start_ref, count_ref, y0_ref,
-    packed_ref,  # [R, 16, 128] ANY
+    seg_start_ref, count_ref, y0_ref,
+    flat_ref,  # [16, M_pad] ANY (feature-major, tile-sorted order)
     chk_ref,  # [1, P, MAXC] VMEM
     out_ref,  # [1, P, 8] VMEM (forward outputs; col 3 = T_final)
     gout_ref,  # [1, P, 8] VMEM (cotangents: cols 0-2 d/drgb, col 3 d/dT_final)
-    gzero_ref,  # [R, 16, 128] ANY — zero-initialized, aliased to the output
-    gpacked_ref,  # [R, 16, 128] ANY (output, written by DMA per chunk)
-    buf, gbuf, sems, gsems,
+    gzero_ref,  # [16, M_pad] ANY — zero-initialized, aliased to the output
+    gflat_ref,  # [16, M_pad] ANY (output, one aligned rolled window write per tile)
+    buf, gbuf, gacc, obuf, hbuf, sems, gsems, hsem, wsem,
     *,
     grid_w: int,
     tile_size: int,
@@ -530,7 +560,7 @@ def _bwd_kernel(
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
-    row0 = row_start_ref[t]
+    seg0 = seg_start_ref[t]
     count = count_ref[t]
     nch = (count + chunk - 1) // chunk
     # chunks past the forward's transmittance stop have all-zero checkpoints and zero
@@ -583,11 +613,29 @@ def _bwd_kernel(
             rhf = rh.astype(jnp.float32)
             return _mm(lh, rhf) + _mm(lh, rl.astype(jnp.float32)) + _mm(ll, rhf)
 
-    def in_dma(slot, j):
-        return pltpu.make_async_copy(packed_ref.at[row0 + j], buf.at[slot], sems.at[slot])
+    # UNALIGNED reads: 128-rounded-down window + positive-equivalent dynamic roll
+    # (same scheme as the forward)
+    base = pl.multiple_of((seg0 // 128) * 128, 128)
+    off = seg0 - base
+    l_acc = gacc.shape[1] - 128  # = max_chunks * chunk
 
-    def out_dma(slot, j):
-        return pltpu.make_async_copy(gbuf.at[slot], gpacked_ref.at[row0 + j], gsems.at[slot])
+    def in_dma(slot, j):
+        return pltpu.make_async_copy(
+            flat_ref.at[:, pl.ds(base + j * chunk, chunk + 128)], buf.at[slot],
+            sems.at[slot],
+        )
+
+    def acc_dma(slot, j):
+        # per-chunk gradients land at their ALIGNED chunk slot of the per-tile VMEM
+        # accumulator; the roll to the residue offset happens once per tile
+        return pltpu.make_async_copy(
+            gbuf.at[slot], gacc.at[:, pl.ds(pl.multiple_of(j * chunk, 128), chunk)],
+            gsems.at[slot],
+        )
+
+    # zero the accumulator: lanes past the written chunks (and the trailing 128 pad
+    # that the roll wraps into the window head) must be zero
+    gacc[:] = jnp.zeros_like(gacc)
 
     @pl.when(nch > 0)
     def _():
@@ -603,7 +651,10 @@ def _bwd_kernel(
         def _():
             in_dma(1 - slot, j - 1).start()
 
-        data = buf[slot]
+        # f32 roll: tpu.dynamic_rotate is 32-bit only (see the forward's aligned_window)
+        data = pltpu.roll(
+            buf[slot].astype(jnp.float32), (chunk + 128) - off, axis=1
+        )[:, :chunk]
         # dynamic lane-index reads are unsupported: masked lane reduction instead
         t_in = jnp.sum(
             jnp.where(chk_col == j, chk_ref[0], 0.0), axis=-1, keepdims=True
@@ -628,7 +679,9 @@ def _bwd_kernel(
         w = usef * a * t_excl  # [P, C]
 
         if feat_bf16:
-            col4 = data[B_R : B_R + 4, :]  # [4, C] bf16 rows (r, g, b, depth)
+            # [4, C] rows (r, g, b, depth): bf16-valued (the roll upcast them to f32);
+            # the cast back is exact and keeps the matmul operands bf16
+            col4 = data[B_R : B_R + 4, :].astype(jnp.bfloat16)
             cdotg = _mm(gmat, col4)  # [P, C] f32 accumulation
         else:
             c4h, c4l = _hl(data[F_R : F_R + 4, :])  # [4, C] — negligible next to [P, C]
@@ -731,29 +784,51 @@ def _bwd_kernel(
                 axis=0,
             )  # [16, chunk] (lane slices are chunk-aligned -> cheap relayout)
 
-        # wait for this slot's previous output flight before overwriting the buffer
+        # wait for this slot's previous accumulator flight before overwriting gbuf
         @pl.when(i >= 2)
         def _():
-            out_dma(slot, j).wait()
+            acc_dma(slot, j + 2).wait()
 
-        # bf16 grad output rounds only the PRE-reduction per-instance values (the
-        # downstream segment sums stay f32) — identical numerics to the former
-        # post-unpack bf16 cast in segmented_grad_reduce, at half the DMA traffic
-        gbuf[slot] = grads.astype(gbuf.dtype)
-        out_dma(slot, j).start()
+        # The lane mask is a CORRECTNESS requirement of the unaligned layout, not
+        # hygiene: tail lanes hold the next tile's (or sentinel junk) features, whose
+        # g_op reciprocal / inf-feature products can produce non-finite values that
+        # nothing downstream would mask once written past this tile's segment.
+        # (The bf16 grad rounding happens once, at the staging-buffer cast in the
+        # epilogue — same single-rounding numerics as the former per-chunk cast.)
+        gbuf[slot] = jnp.where(lane_valid, grads, 0.0)
+        acc_dma(slot, j).start()
 
         return s_carry + total_u
 
     _ = jax.lax.fori_loop(0, nch, body, s0)
 
-    # drain outstanding output DMAs (at most the last two started)
-    @pl.when(nch >= 1)
-    def _():
-        out_dma(jax.lax.rem(jnp.int32(0), 2), 0).wait()
-
+    # drain the last two accumulator copies (j = 1, 0), roll the tile's gradients to
+    # the residue offset, ADD-merge the head 128-lane tile with the previous tiles'
+    # already-written values, and write ONE aligned [16, L+128] window. Zero-masked
+    # lanes beyond this tile's segment clobber only columns whose owning (later) tile
+    # rewrites them — grid steps execute sequentially in tile order.
     @pl.when(nch >= 2)
     def _():
-        out_dma(jax.lax.rem(jnp.int32(1), 2), 0).wait()
+        acc_dma(1, 1).wait()
+
+    @pl.when(nch >= 1)
+    def _():
+        acc_dma(0, 0).wait()
+        # roll runs on the f32 accumulator (tpu.dynamic_rotate is 32-bit only); the
+        # grad_dtype cast happens once, into the staging buffer
+        rolled = pltpu.roll(gacc[:], off, axis=1)  # head lanes [0,off) wrap in zeros
+        rd = pltpu.make_async_copy(gflat_ref.at[:, pl.ds(base, 128)], hbuf, hsem)
+        rd.start()
+        rd.wait()
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, hbuf.shape, 1)
+        head = jnp.where(lane128 < off, hbuf[:].astype(jnp.float32), 0.0)
+        obuf[:] = (rolled + jnp.concatenate(
+            [head, jnp.zeros((gacc.shape[0], l_acc), jnp.float32)], axis=1
+        )).astype(obuf.dtype)
+        wr = pltpu.make_async_copy(obuf, gflat_ref.at[:, pl.ds(base, l_acc + 128)],
+                                   wsem)
+        wr.start()
+        wr.wait()  # the NEXT grid step's head read depends on this write
 
 
 @functools.partial(
@@ -762,8 +837,8 @@ def _bwd_kernel(
                               "approx_recip", "basis_red", "sigma_mm", "base2")
 )
 def blend_backward(
-    packed: jax.Array,  # [R, 16, chunk] f32 (or bf16 in the hi/lo feature layout)
-    row_start: jax.Array,
+    flat: jax.Array,  # [16, M_pad] f32 (or bf16 in the hi/lo feature layout)
+    seg_start: jax.Array,  # [T] int32 UNALIGNED element offsets
     tile_count: jax.Array,
     chk: jax.Array,  # [T, P, MAXC]
     out: jax.Array,  # [T, P, 8]
@@ -787,13 +862,13 @@ def blend_backward(
     # tools/profiling/profile_r3d.py)
     base2: bool = False,  # base-2 transcendentals (see blend_forward) — wash, lane only
 ) -> jax.Array:
-    """Returns gpacked [R, 16, chunk] in `grad_dtype`; rows never touched by any tile
-    stay zero (zero-init via input-output aliasing)."""
+    """Returns gflat [16, M_pad] in `grad_dtype`; columns never owned by any tile stay
+    zero (zero-init via input-output aliasing + the in-kernel lane mask)."""
     p = tile_size * tile_size
-    feat_bf16 = packed.dtype == jnp.bfloat16
+    feat_bf16 = flat.dtype == jnp.bfloat16
     y0 = (jnp.zeros((1,), jnp.int32) if tile_y0 is None
           else jnp.asarray(tile_y0, jnp.int32).reshape(1))
-    gzero = jnp.zeros(packed.shape, grad_dtype)
+    gzero = jnp.zeros(flat.shape, grad_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -806,23 +881,28 @@ def blend_backward(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, chunk), packed.dtype),
-            pltpu.VMEM((2, NFEAT, chunk), grad_dtype),
+            pltpu.VMEM((2, NFEAT, chunk + 128), flat.dtype),
+            pltpu.VMEM((2, NFEAT, chunk), jnp.float32),  # per-chunk grads (pre-cast)
+            pltpu.VMEM((NFEAT, max_chunks * chunk + 128), jnp.float32),  # accumulator
+            pltpu.VMEM((NFEAT, max_chunks * chunk + 128), grad_dtype),  # staging
+            pltpu.VMEM((NFEAT, 128), grad_dtype),  # head-merge read
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
-    gpacked = pl.pallas_call(
+    gflat = pl.pallas_call(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
                           approx_recip=approx_recip, basis_red=basis_red,
                           sigma_mm=sigma_mm, base2=base2),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, grad_dtype),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(row_start, tile_count, y0, packed, chk, out, gout, gzero)
-    return gpacked
+    )(seg_start, tile_count, y0, flat, chk, out, gout, gzero)
+    return gflat

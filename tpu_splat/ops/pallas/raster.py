@@ -34,11 +34,11 @@ from .blend import CHUNK, NFEAT, blend_backward, blend_forward
 # G-table columns (per-gaussian, gaussian-id order). Columns 0-9 deliberately MATCH the
 # blend kernel's f32 feature layout (blend.py F_*), so the SAME table serves both
 # row-gathers of the pipeline: gtab[pos] (emission: tile walk, contribution test, sort
-# keys) and gtab[aligned_gid] (the f32 feature pack — no separate feature table is ever
+# keys) and gtab[sorted_gid].T (the f32 feature pack — no separate feature table is ever
 # built; the kernel ignores the junk in columns 10-15). A scatter-based pack through
-# qa_emis was measured and REJECTED: XLA's row scatter runs ~220 ms for 2M 16-col rows
-# on this TPU (vs ~19 ms for the equivalent gather) regardless of unique/sorted hints
-# (tools/profiling/profile_r4b.py).
+# the emission->sorted map was measured and REJECTED: XLA's row scatter runs ~220 ms for
+# 2M 16-col rows on this TPU (vs ~19 ms for the equivalent gather) regardless of
+# unique/sorted hints (tools/profiling/profile_r4b.py).
 (G_MX, G_MY, G_CA, G_CB, G_CC, G_OP, G_R, G_G, G_B, G_DEPTH,
  G_COUNT, G_TMINX, G_TMINY, G_RECTW, G_PTH, G_OFFS) = range(16)
 G_COLS = 16  # one f32 lane-tile row
@@ -203,7 +203,7 @@ class SortedInstances(NamedTuple):
     max_tile_count: jax.Array  # [] int32
     n_visible: jax.Array  # [] int32
     gtab: jax.Array = None  # [N, 16] f32 per-gaussian table (G_* layout) — the f32
-    # pack gathers this directly at aligned_gid (cols 0-9 are the kernel features)
+    # pack gathers this directly at sorted_gid (cols 0-9 are the kernel features)
 
 
 def build_sorted_instances(
@@ -398,7 +398,9 @@ def build_sorted_instances(
 
 def align_segments(inst: SortedInstances, n_tiles: int, max_chunks: int,
                    chunk: int = CHUNK, with_gid: bool = True):
-    """chunk-align per-tile segments (Mosaic can only slice HBM on chunk-row boundaries).
+    """chunk-align per-tile segments — GUT path only (the fast path reads UNALIGNED
+    segments via the round-down + dynamic-roll scheme in blend.py; the GUT kernels
+    keep the [R, rows, chunk] block layout).
 
     Instance-side remap via ONE scatter+cummax scan (a 4M-query searchsorted costs
     ~400 ms). Returns (row_start [T], count_capped [T], aligned_gid [MAX_AL],
@@ -533,26 +535,8 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     ginst [MAX_AL, width]; qem [MAX_INST] emission->aligned map (sentinel MAX_AL);
     rank [MAX_INST] segment ids (gaussian id per emission slot); seg_s/seg_e [N] segment
     bounds. Emission order is gaussian-id order, so the segment-end gather lands directly
-    in gid order. Returns [N, width].
-
-    impl (A/B lanes, tools/profiling/profile_segred3.py; None = "pallas_mm" on TPU,
-    "block_mm" elsewhere):
-    * "pallas_mm": the block_mm scheme as ONE Pallas kernel with the run carry in VMEM
-      scratch across the sequential grid (`segred_prefix_pallas`) — avoids
-      materializing the [nb, 128, 128] mask array through HBM.
-    * "block_mm": ONE batched MXU matmul per 128-block, `A @ x` with
-      A[i,j] = (rank_i == rank_j) & (j <= i) — the segmented inclusive prefix, since
-      runs are contiguous. (The triangular term is NOT redundant: emission slots past
-      `total` hold the last gaussian's rank via the cummax fill, so the last segment's
-      end position would otherwise sum tail rows too.) Replaces 7 masked Hillis-Steele
-      passes (each streaming the padded [*,width] array) with 128x128 MXU work that is
-      ~free next to the A materialization; measured 39 vs 44 ms at garden scale.
-    * "pad_scan": block-local Hillis-Steele on the padded [nb, blk, width] layout.
-    * "flat_scan": the same scan on a DENSE flat [nb, blk*width] layout (the padded
-      form streams 12.8x the useful bytes per pass; the flat form pays two relayouts
-      instead — measured slightly SLOWER on chip, kept as a lane)."""
+    in gid order. Returns [N, width]."""
     max_aligned, width = ginst.shape
-    max_inst = qem.shape[0]
     # the emission-order row gather is the most expensive single op of the backward
     # (~30 ms f32 at 2M instances: each [*,10] row physically occupies a 128-lane tile);
     # gathering in bf16 halves the tile traffic (measured ~1.7x faster). Only the
@@ -566,6 +550,38 @@ def segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=jnp.bfloa
     # sentinel -> 0; the segment sums and everything downstream run in f32 regardless
     # of the gather dtype (ginst may already arrive bf16 from the kernel)
     ge = ginst_pad[jnp.minimum(qem, max_aligned)].astype(jnp.float32)
+    return segred_from_emission(ge, rank, seg_s, seg_e,
+                                bf16=gather_dtype == jnp.bfloat16, impl=impl)
+
+
+def segred_from_emission(ge, rank, seg_s, seg_e, *, bf16: bool = True,
+                         impl: str | None = None):
+    """Segmented reduce of EMISSION-ORDER gradient rows to per-gaussian totals.
+
+    ge [MAX_INST, width] f32 (rows already bf16-rounded upstream when bf16=True);
+    rank [MAX_INST] segment ids (gaussian id per emission slot, runs contiguous);
+    seg_s/seg_e [N] segment bounds. Returns [N, width].
+
+    impl (A/B lanes, tools/profiling/profile_segred3.py):
+    * "pallas_mm": the block_mm scheme as ONE Pallas kernel with the run carry in VMEM
+      scratch across the sequential grid (`segred_prefix_pallas`) — avoids
+      materializing the [nb, 128, 128] mask array through HBM.
+    * "block_mm" (default): ONE batched MXU matmul per 128-block, `A @ x` with
+      A[i,j] = (rank_i == rank_j) & (j <= i) — the segmented inclusive prefix, since
+      runs are contiguous. (The triangular term is NOT redundant: emission slots past
+      `total` hold the last gaussian's rank via the cummax fill, so the last segment's
+      end position would otherwise sum tail rows too.) Replaces 7 masked Hillis-Steele
+      passes (each streaming the padded [*,width] array) with 128x128 MXU work that is
+      ~free next to the A materialization; measured 39 vs 44 ms at garden scale. In the
+      full step graph XLA fuses the mask materialization into the matmul read, beating
+      the Pallas kernel (which is 2x faster in isolation but forces a fusion boundary
+      on the gathered input) — 189.2 vs 193.9 ms (tools/profiling/profile_r4b.py).
+    * "pad_scan": block-local Hillis-Steele on the padded [nb, blk, width] layout.
+    * "flat_scan": the same scan on a DENSE flat [nb, blk*width] layout (the padded
+      form streams 12.8x the useful bytes per pass; the flat form pays two relayouts
+      instead — measured slightly SLOWER on chip, kept as a lane)."""
+    max_inst, width = ge.shape
+    gather_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     if impl is None:
         # default is block_mm EVERYWHERE: in the full step graph XLA fuses the
@@ -709,8 +725,19 @@ def blend_tiles_pallas(
     )
     p = tile_size * tile_size
 
-    (row_start, count_capped, aligned_gid, qa_emis, max_aligned, n_rows) = align_segments(
-        inst, n_tiles, max_chunks, chunk
+    # UNALIGNED segments: per-tile element offsets feed the kernel DMAs directly — no
+    # chunk alignment pass (align_segments now serves only the GUT path). The tail
+    # chunk of each tile overreads/overwrites into the next tile's columns; reads are
+    # masked by lane_valid, writes are zero-masked + resolved by sequential grid order
+    # (see blend.py). Replaces align (+12 ms) and makes the pack gather+transpose fuse
+    # into ONE op (tools/profiling/profile_r5.py: 28.3 -> 16 ms at garden scale).
+    count_capped = jnp.minimum(inst.tile_count, max_chunks * chunk)
+    seg_start = inst.tile_start
+    # emission -> sorted-slot map: invert the sorted_emis permutation by sorting
+    # (a 1-key/1-payload int32 sort costs ~half of XLA's element scatter at this size)
+    _, qe_emis = jax.lax.sort(
+        (inst.sorted_emis, jnp.arange(max_inst, dtype=jnp.int32)),
+        num_keys=1, is_stable=False,
     )
 
     statics = dict(n_tiles=n_tiles, grid_w=grid_w, tile_size=tile_size,
@@ -718,12 +745,14 @@ def blend_tiles_pallas(
     y0_arr = (jnp.zeros((), jnp.int32) if tile_y0 is None
               else jnp.asarray(tile_y0, jnp.int32))
 
-    # Pack OUTSIDE the custom_vjp: ONE row-gather into aligned order. The f32 path
-    # gathers inst.gtab directly (G_* cols 0-9 are the kernel's F_* feature layout; the
-    # junk in cols 10-15 is never read), so no separate feature table is built.
-    # Gradients flow exclusively through core's hand-written VJP (the segmented reduce
-    # is exactly the transpose of this gather); stop_gradient cuts the autodiff path
-    # through the pack itself.
+    # Pack OUTSIDE the custom_vjp: ONE fused row-gather+transpose into the flat
+    # feature-major [16, M_pad] table (XLA folds the transpose into the gather's output
+    # layout — measured the same cost as the row gather alone). The f32 path gathers
+    # inst.gtab directly (G_* cols 0-9 are the kernel's F_* feature layout; the junk in
+    # cols 10-15 is never read), so no separate feature table is ever built. Gradients
+    # flow exclusively through core's hand-written VJP (the segmented reduce is exactly
+    # the transpose of this gather); stop_gradient cuts the autodiff path through the
+    # pack itself.
     if feat_bf16:
         # hi/lo bf16 split for mean2d/conic (pair reconstructs ~f32 in-kernel),
         # single bf16 for opacity/color/depth — see blend.py B_* layout
@@ -746,32 +775,42 @@ def blend_tiles_pallas(
         ptab = jnp.pad(ptab, ((0, 0), (0, NFEAT - ptab.shape[1])))
     else:
         ptab = inst.gtab
-    flat = jax.lax.optimization_barrier(ptab[aligned_gid])  # [MAX_AL, 16] row-gather
-    packed = flat.reshape(n_rows, chunk, NFEAT).transpose(0, 2, 1)  # [R, 16, chunk]
-    packed = jax.lax.stop_gradient(packed)
+    # pad the sorted-gid index (rather than the packed output) so the pad columns ride
+    # the same fused gather. Bound: the last tile's backward write window spans up to
+    # floor128(start) + max_chunks*chunk + 128 columns (the kernel writes its FULL
+    # rolled accumulator window regardless of the tile's chunk count); forward reads
+    # stay within start + max_chunks*chunk + 128 too.
+    gid_pad = jnp.concatenate(
+        [inst.sorted_gid, jnp.zeros((k_max_al + 128,), jnp.int32)]
+    )  # [M_pad]
+    flat = jax.lax.optimization_barrier(
+        jnp.transpose(ptab[gid_pad])
+    )  # [16, M_pad] feature-major
+    flat = jax.lax.stop_gradient(flat)
 
     @jax.custom_vjp
-    def core(m2d, con, op, col, dep, pk, rstart, count, qem, rank, seg_s, seg_e, y0):
-        out, _ = blend_forward(pk, rstart, count, tile_y0=y0, **statics)
+    def core(m2d, con, op, col, dep, fl, sstart, count, qem, rank, seg_s, seg_e, y0):
+        out, _ = blend_forward(fl, sstart, count, tile_y0=y0, **statics)
         return out[:, :, :5]
 
-    def core_fwd(m2d, con, op, col, dep, pk, rstart, count, qem, rank, seg_s, seg_e, y0):
-        out, chk = blend_forward(pk, rstart, count, tile_y0=y0, **statics)
-        return out[:, :, :5], (pk, chk, out, rstart, count, qem, rank, seg_s,
+    def core_fwd(m2d, con, op, col, dep, fl, sstart, count, qem, rank, seg_s, seg_e, y0):
+        out, chk = blend_forward(fl, sstart, count, tile_y0=y0, **statics)
+        return out[:, :, :5], (fl, chk, out, sstart, count, qem, rank, seg_s,
                                seg_e, y0)
 
     def core_bwd(res, g5):
-        pk, chk, out, rstart, count, qem, rank, seg_s, seg_e, y0 = res
+        fl, chk, out, sstart, count, qem, rank, seg_s, seg_e, y0 = res
         gout = jnp.concatenate([g5, jnp.zeros((n_tiles, p, 3), jnp.float32)], axis=-1)
         gdt = jnp.bfloat16 if grad_bf16 else jnp.float32
-        gpacked = blend_backward(pk, rstart, count, chk, out, gout, tile_y0=y0,
-                                 grad_dtype=gdt, **statics)
-        # strided feature slices + stack instead of a minor-dim transpose of the whole
-        # [R, 16, 128] block (XLA's minor transpose of that shape measured ~330 ms)
-        ginst = jnp.stack(
-            [gpacked[:, f, :].reshape(-1) for f in range(10)], axis=1
-        )  # [MAX_AL, 10]
-        acc = segmented_grad_reduce(ginst, qem, rank, seg_s, seg_e, gather_dtype=gdt)
+        gflat = blend_backward(fl, sstart, count, chk, out, gout, tile_y0=y0,
+                               grad_dtype=gdt, **statics)  # [16, M_pad]
+        # transpose FIRST (one cheap relayout, ~3 ms at garden scale), THEN row-gather
+        # to emission order. The barrier is load-bearing: fusing the transpose into the
+        # gather makes XLA emit a lane-dimension gather over [16, M_pad] — measured
+        # 5.4 SECONDS vs ~21 ms for the split form (tools/profiling/profile_r5e.py)
+        gfl_rows = jax.lax.optimization_barrier(jnp.transpose(gflat))  # [M_pad, 16]
+        ge = gfl_rows[qem][:, :10].astype(jnp.float32)  # [MAX_INST, 10]
+        acc = segred_from_emission(ge, rank, seg_s, seg_e, bf16=grad_bf16)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]
@@ -781,15 +820,15 @@ def blend_tiles_pallas(
         def f0(y):
             return np.zeros(y.shape, dtype=jax.dtypes.float0)
 
-        # pk's cotangent is discarded by the stop_gradient at the call site (its true
+        # fl's cotangent is discarded by the stop_gradient at the call site (its true
         # adjoint is the segmented reduce above); zeros here are DCE'd
-        return (g_m2d, g_con, g_op, g_col, g_dep, jnp.zeros_like(pk), f0(rstart),
+        return (g_m2d, g_con, g_op, g_col, g_dep, jnp.zeros_like(fl), f0(sstart),
                 f0(count), f0(qem), f0(rank), f0(seg_s), f0(seg_e), f0(y0))
 
     core.defvjp(core_fwd, core_bwd)
 
-    out5 = core(mean2d, conic, opacity, color, depth, packed, row_start, count_capped,
-                qa_emis, inst.emis_rank, inst.emis_start, inst.emis_end, y0_arr)
+    out5 = core(mean2d, conic, opacity, color, depth, flat, seg_start, count_capped,
+                qe_emis, inst.emis_rank, inst.emis_start, inst.emis_end, y0_arr)
     tile_colors = out5[:, :, 0:3]
     tile_alpha = 1.0 - out5[:, :, 3]
     tile_depth = out5[:, :, 4]
