@@ -545,7 +545,7 @@ def _bwd_kernel(
     gout_ref,  # [1, P, 8] VMEM (cotangents: cols 0-2 d/drgb, col 3 d/dT_final)
     gzero_ref,  # [16, M_pad] ANY — zero-initialized, aliased to the output
     gflat_ref,  # [16, M_pad] ANY (output, one aligned rolled window write per tile)
-    buf, gbuf, gacc, obuf, hbuf, sems, gsems, hsem, wsem,
+    buf, gbuf, gacc, obuf, hbuf, sems, gsems, hsem, wsem, pend,
     *,
     grid_w: int,
     tile_size: int,
@@ -560,6 +560,11 @@ def _bwd_kernel(
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        pend[0] = 0
+
     seg0 = seg_start_ref[t]
     count = count_ref[t]
     nch = (count + chunk - 1) // chunk
@@ -633,9 +638,10 @@ def _bwd_kernel(
             gsems.at[slot],
         )
 
-    # zero the accumulator: lanes past the written chunks (and the trailing 128 pad
-    # that the roll wraps into the window head) must be zero
-    gacc[:] = jnp.zeros_like(gacc)
+    # NOTE: gacc is NOT zero-filled per tile — stale lanes (earlier tiles / first-use
+    # garbage) are killed by the epilogue's range select, which replaced the former
+    # [16, l_acc] zero-store pass (chunks written this tile are complete: acc_dma
+    # stores whole chunks and gbuf zero-masks the segment tail)
 
     @pl.when(nch > 0)
     def _():
@@ -816,19 +822,44 @@ def _bwd_kernel(
         acc_dma(0, 0).wait()
         # roll runs on the f32 accumulator (tpu.dynamic_rotate is 32-bit only); the
         # grad_dtype cast happens once, into the staging buffer
-        rolled = pltpu.roll(gacc[:], off, axis=1)  # head lanes [0,off) wrap in zeros
+        rolled = pltpu.roll(gacc[:], off, axis=1)
+
+        # wait for the PREVIOUS writing tile's window write before reading any of its
+        # region (head read) or reusing obuf — that write overlapped this tile's whole
+        # chunk loop instead of serializing its own epilogue (the wait descriptor only
+        # needs the byte count, which every window write shares)
+        @pl.when(pend[0] == 1)
+        def _():
+            pltpu.make_async_copy(
+                obuf, gflat_ref.at[:, pl.ds(base, l_acc + 128)], wsem
+            ).wait()
+
         rd = pltpu.make_async_copy(gflat_ref.at[:, pl.ds(base, 128)], hbuf, hsem)
         rd.start()
         rd.wait()
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, hbuf.shape, 1)
-        head = jnp.where(lane128 < off, hbuf[:].astype(jnp.float32), 0.0)
-        obuf[:] = (rolled + jnp.concatenate(
-            [head, jnp.zeros((gacc.shape[0], l_acc), jnp.float32)], axis=1
-        )).astype(obuf.dtype)
+        # range select: head lanes [0, off) merge the previous tiles' written values,
+        # [off, off + nch*chunk) carry this tile's rolled grads, everything past is
+        # zeroed (stale accumulator lanes never reach HBM; later tiles rewrite their
+        # own columns in sequential grid order)
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
+        headp = jnp.concatenate(
+            [hbuf[:].astype(jnp.float32),
+             jnp.zeros((gacc.shape[0], l_acc), jnp.float32)], axis=1)
+        obuf[:] = jnp.where(
+            lane_w < off, headp,
+            jnp.where(lane_w < off + nch * chunk, rolled, 0.0),
+        ).astype(obuf.dtype)
         wr = pltpu.make_async_copy(obuf, gflat_ref.at[:, pl.ds(base, l_acc + 128)],
                                    wsem)
-        wr.start()
-        wr.wait()  # the NEXT grid step's head read depends on this write
+        wr.start()  # waited by the next writing tile, or the last-step drain below
+        pend[0] = 1
+
+    # drain the overlapped window write before kernel exit
+    @pl.when((t == pl.num_programs(0) - 1) & (pend[0] == 1))
+    def _():
+        pltpu.make_async_copy(
+            obuf, gflat_ref.at[:, pl.ds(base, l_acc + 128)], wsem
+        ).wait()
 
 
 @functools.partial(
@@ -890,6 +921,8 @@ def blend_backward(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),  # pending-window-write flag (persists across
+            # the sequential grid; see the epilogue's overlapped write)
         ],
     )
     gflat = pl.pallas_call(

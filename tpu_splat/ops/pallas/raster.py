@@ -686,6 +686,103 @@ def segred_from_emission(ge, rank, seg_s, seg_e, *, bf16: bool = True,
     return per_gid * (seg_e > seg_s)[:, None]
 
 
+SEGSUM_BLK = 512  # gaussians per segsum output block
+SEGSUM_WIN = 1024  # emission slots fetched per while-loop window
+
+
+def _segsum_kernel(win_start_ref, rows_ref, rank_ref, out_ref, buf, rbuf, sems, rsems):
+    """Per-gaussian gradient totals as windowed one-hot matmuls over EMISSION order
+    (the reverse of `_expand_kernel`: there one-hot ownership EXPANDS per-gaussian rows
+    to emission slots; here one-hot-transposed ownership SUMS emission rows per
+    gaussian). Emission order is gaussian-id order, so the slots owned by an
+    OUT-block of gaussians form a contiguous window — sequential DMA, no random
+    gather, no [nb, 128, 128] mask through HBM, and no 1M-row segment-end gather
+    (both of which made the prefix-scan scheme ~20 ms at garden scale).
+
+    Exactness: ownership is one-hot, so each output element is a plain f32-accumulated
+    sum of its owned rows (the rows themselves are bf16-rounded upstream by the
+    emission gather — same budget as the prefix scheme's bf16 path)."""
+    b = pl.program_id(0)
+    g0 = b * SEGSUM_BLK
+    base = pl.multiple_of((win_start_ref[b] // 128) * 128, 128)
+
+    def row_dma(slot, w):
+        # feature-major [16, WIN] windows: lane-dim HBM slices demand 128-aligned
+        # offsets (a [WIN, 16] row window has a 16-lane minor dim Mosaic rejects)
+        return pltpu.make_async_copy(
+            rows_ref.at[:, pl.ds(base + w * SEGSUM_WIN, SEGSUM_WIN)], buf.at[slot],
+            sems.at[slot])
+
+    def rank_dma(slot, w):
+        return pltpu.make_async_copy(
+            rank_ref.at[:, pl.ds(base + w * SEGSUM_WIN, SEGSUM_WIN)], rbuf.at[slot],
+            rsems.at[slot])
+
+    row_dma(0, 0).start()
+    rank_dma(0, 0).start()
+    gid_col = g0 + jax.lax.broadcasted_iota(jnp.int32, (SEGSUM_BLK, 1), 0)
+
+    def cond(c):
+        w, acc, done = c
+        return jnp.logical_not(done)
+
+    def body(c):
+        w, acc, _ = c
+        slot = jax.lax.rem(w, 2)
+        row_dma(slot, w).wait()
+        rank_dma(slot, w).wait()
+        # speculative prefetch (bounds padded by >= 2*SEGSUM_WIN rows)
+        row_dma(1 - slot, w + 1).start()
+        rank_dma(1 - slot, w + 1).start()
+        rk = rbuf[slot]  # [1, WIN] int32, monotone (huge sentinel in the pad tail)
+        oh = (rk == gid_col).astype(jnp.bfloat16)  # [BLK, WIN] exact 0/1
+        acc = acc + jax.lax.dot_general(
+            buf[slot], oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # contract both lane dims: [16, WIN] x [BLK, WIN] -> [16, BLK]
+        done = rk[0, SEGSUM_WIN - 1] > g0 + (SEGSUM_BLK - 1)
+        return w + 1, acc, done
+
+    w, acc, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((NFEAT, SEGSUM_BLK), jnp.float32), jnp.bool_(False)),
+    )
+    # drain the speculative prefetch started by the last body iteration
+    row_dma(jax.lax.rem(w, 2), w).wait()
+    rank_dma(jax.lax.rem(w, 2), w).wait()
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segsum_emission(rows, rank, win_start, *, interpret: bool = False):
+    """rows [16, M_cols] (bf16; feature-major, EMISSION order, padded >= 2*SEGSUM_WIN
+    columns, junk rows zero), rank [1, M_cols] int32 (owning gaussian id per slot,
+    monotone, huge in the pad), win_start [nb] int32 (first emission slot of each gid
+    block; M-clamped for padded blocks). Returns [16, nb*SEGSUM_BLK] f32 sums
+    (feature-major: a lane-16 output array triggered a pathological 16 GB buffer
+    liveness blowup in the full train graph's buffer assignment)."""
+    nb = win_start.shape[0]
+    return pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((NFEAT, SEGSUM_BLK), lambda b, *_: (0, b),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, NFEAT, SEGSUM_WIN), rows.dtype),
+                pltpu.VMEM((2, 1, SEGSUM_WIN), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, nb * SEGSUM_BLK), jnp.float32),
+        interpret=interpret,
+    )(win_start, rows, rank)
+
+
 def blend_tiles_pallas(
     inst: SortedInstances,
     mean2d: jnp.ndarray,  # [N, 2]
@@ -809,8 +906,38 @@ def blend_tiles_pallas(
         # gather makes XLA emit a lane-dimension gather over [16, M_pad] — measured
         # 5.4 SECONDS vs ~21 ms for the split form (tools/profiling/profile_r5e.py)
         gfl_rows = jax.lax.optimization_barrier(jnp.transpose(gflat))  # [M_pad, 16]
-        ge = gfl_rows[qem][:, :10].astype(jnp.float32)  # [MAX_INST, 10]
-        acc = segred_from_emission(ge, rank, seg_s, seg_e, bf16=grad_bf16)
+        import os
+
+        impl = os.environ.get("TPU_SPLAT_SEGRED_IMPL", "segsum")
+        if grad_bf16 and impl == "segsum":
+            # windowed one-hot segsum kernel: no prefix scan, no [nb, 128, 128] mask
+            # through HBM, no 1M-row segment-end gather (~20 -> ~5 ms at garden scale)
+            rows_em = gfl_rows[qem]  # [MAX_INST, 16] bf16 — junk cols 10-15 are zero
+            # back to feature-major for the kernel's lane-dim windows (barrier again:
+            # a fused transpose+gather emits the pathological lane gather)
+            rows_p = jnp.concatenate(
+                [jax.lax.optimization_barrier(jnp.transpose(rows_em)),
+                 jnp.zeros((NFEAT, 2 * SEGSUM_WIN), rows_em.dtype)], axis=1)
+            rank_p = jnp.concatenate(
+                [rank, jnp.full((2 * SEGSUM_WIN,), 2**30, jnp.int32)])[None, :]
+            nb = -(-n // SEGSUM_BLK)
+            bidx = jnp.arange(nb, dtype=jnp.int32) * SEGSUM_BLK
+            ws = jnp.where(bidx < n, seg_s[jnp.minimum(bidx, n - 1)],
+                           jnp.int32(max_inst))
+            import os as _os
+            if _os.environ.get("SEGSUM_FAKE", "0") == "1":
+                acc = (jnp.broadcast_to(jnp.sum(rows_p, axis=1)[None, :],
+                                        (n, 16)).astype(jnp.float32)[:, :10]
+                       + 0.0 * jnp.sum(rank_p).astype(jnp.float32)
+                       + 0.0 * jnp.sum(ws).astype(jnp.float32))
+            else:
+                acc_t = segsum_emission(rows_p, rank_p, ws,
+                                        interpret=statics["interpret"])
+                acc = jax.lax.optimization_barrier(
+                    jnp.transpose(acc_t))[:n, :10]
+        else:
+            ge = gfl_rows[qem][:, :10].astype(jnp.float32)  # [MAX_INST, 10]
+            acc = segred_from_emission(ge, rank, seg_s, seg_e, bf16=grad_bf16)
         g_m2d = acc[:, 0:2]
         g_con = acc[:, 2:5]
         g_op = acc[:, 5]
