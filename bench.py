@@ -78,7 +78,7 @@ def main():
     import os
 
     n_gauss = int(float(os.environ.get("BENCH_GAUSSIANS", 1_000_000)))
-    pack_bf16 = os.environ.get("BENCH_PACK_BF16", "0") == "1"
+    pack_bf16 = os.environ.get("BENCH_PACK_BF16", "1") == "1"
     width = int(os.environ.get("BENCH_WIDTH", 1296))  # garden images_4 scale
     height = int(os.environ.get("BENCH_HEIGHT", 840))
     warmup, iters = 3, int(os.environ.get("BENCH_ITERS", 20))

@@ -199,6 +199,10 @@ class Trainer:
             k_max=1 << 12,
             chunk=256 if opt.tile_size >= 32 else 128,
             tile_size=opt.tile_size,
+            # bf16 hi/lo feature pack by default: -3.4 ms/step at garden scale, and
+            # the 24 dB CPU quality floor + raytraced e2e floor run WITH it (mean2d/
+            # conic reconstruct ~f32; opacity/color/depth round <=0.4%)
+            pack_bf16=True,
         )
 
         # multi-chip training (cameras over "data", gaussians + tile rows over "gauss";
@@ -459,17 +463,15 @@ class Trainer:
         plan = pending.plan
         redo = False
         new_plan = plan
+        # dataclasses.replace keeps gather_budget/pack_bf16 across replans (a bare
+        # RasterPlan(...) here silently reset both on every budget growth)
         if total > plan.max_instances:
-            new_plan = RasterPlan(
-                max_instances=_next_bucket(int(total * 1.3)),
-                k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
-            )
+            new_plan = dataclasses.replace(
+                new_plan, max_instances=_next_bucket(int(total * 1.3)))
             redo = True
         elif total > 0.85 * plan.max_instances:
-            new_plan = RasterPlan(
-                max_instances=_next_bucket(int(plan.max_instances * 1.3)),
-                k_max=new_plan.k_max, chunk=plan.chunk, tile_size=plan.tile_size,
-            )
+            new_plan = dataclasses.replace(
+                new_plan, max_instances=_next_bucket(int(plan.max_instances * 1.3)))
         # the blend kernel's per-tile checkpoint caps capacity at 512 chunks
         # (ops/pallas/raster.py); clamp growth there instead of tripping the assert
         k_cap = 512 * plan.chunk
@@ -481,16 +483,10 @@ class Trainer:
                     "instances); clamping — denser tiles will be truncated",
                     k_want, k_cap, max_tile,
                 )
-            new_plan = RasterPlan(
-                max_instances=new_plan.max_instances,
-                k_max=min(k_want, k_cap), chunk=plan.chunk, tile_size=plan.tile_size,
-            )
+            new_plan = dataclasses.replace(new_plan, k_max=min(k_want, k_cap))
             redo = max_tile <= k_cap  # beyond capacity a redo cannot help
         elif max_tile > 0.85 * new_plan.k_max and new_plan.k_max * 2 <= k_cap:
-            new_plan = RasterPlan(
-                max_instances=new_plan.max_instances,
-                k_max=new_plan.k_max * 2, chunk=plan.chunk, tile_size=plan.tile_size,
-            )
+            new_plan = dataclasses.replace(new_plan, k_max=new_plan.k_max * 2)
         # multi-chip: per-shard visible count vs the pre-all-gather compaction budget
         if plan.gather_budget is not None and self.mesh is not None:
             nsv = int(pending.stats.n_shard_visible)
