@@ -262,17 +262,20 @@ def test_blend_kernel_variants_parity():
     assert float(jnp.max(jnp.abs(o0 - o2)[:, :, :4])) < 1e-5
 
     gout = jnp.asarray(rng.normal(0, 0.3, (n_tiles, P, 8)).astype(np.float32))
-    # reference: the exact stacked-product reduction, exact divides
-    exact = dict(basis_red=False, approx_recip=False)
+    # reference: the exact stacked-product reduction, exact divides, split matmuls
+    exact = dict(basis_red=False, approx_recip=False, lowp=False)
     g0 = blend_backward(flat, seg_start, count, c0, o0, gout, **exact, **kw)
     scale = float(jnp.max(jnp.abs(g0))) + 1e-12
     for extra, tol in (
-        (dict(approx_recip=False), 1e-3),  # basis_red moment form (~2^-16 matmul split)
-        (dict(), 2e-2),  # default path: basis_red + approx reciprocals (~2^-12)
+        # basis_red moment form at split precision (~2^-16 matmul split)
+        (dict(approx_recip=False, lowp=False), 1e-3),
+        # lowp default: single-bf16 prefix + moment matmuls (~2^-8 pre-sum)
+        (dict(approx_recip=False), 1e-2),
+        (dict(), 2e-2),  # default path: lowp + approx reciprocals (~2^-12)
         (dict(block_scan=False, **exact), 1e-5),
         (dict(red_sum=True, **exact), 1e-5),
         # quadratic-form sigma on the MXU in the backward (~1e-3 on sigma -> alphas)
-        (dict(sigma_mm=True, approx_recip=False), 5e-3),
+        (dict(sigma_mm=True, approx_recip=False, lowp=False), 5e-3),
         # base-2 transcendentals: value-identical, rounding-only differences
         (dict(base2=True, **exact), 1e-4),
     ):

@@ -245,7 +245,13 @@ def test_blend_kernel_variants_on_chip():
     g0 = blend_backward(flat, seg_start, count, c0, o0, gout, **exact, **kw)
     scale = float(jnp.max(jnp.abs(g0))) + 1e-12
     for extra, tol in (
-        (dict(), 2e-2),  # PRODUCTION path: basis_red + approx_recip + sigma_mm
+        # PRODUCTION path: basis_red + approx_recip + lowp (single-bf16 prefix +
+        # moment matmuls, r5). Stacked pre-sum roundings measure 2.06e-2 vs the exact
+        # reference on this fixture — unbiased quantization, not drift; training
+        # quality is gated by the e2e PSNR floors (tests/test_io_and_trainer.py)
+        (dict(), 3e-2),
+        # the r4 production combo (split matmuls, MXU sigma) stays tight
+        (dict(lowp=False, sigma_mm=True), 2e-2),
         # block-decomposed vs full-triangle prefix shifts the bf16 hi/lo SPLIT POINTS
         # (run totals added in f32 after per-128 splits vs one full-x split): ~2e-4
         # relative at chunk 256, a decomposition-rounding difference, not an error

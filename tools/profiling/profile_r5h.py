@@ -100,3 +100,13 @@ for kw, tag in [({}, "bwd base (sigma_mm+basis_red+approx_recip)"),
         fl, s, c, ck, o, g, grad_dtype=jnp.bfloat16, **statics, **_kw
     )[0, 0].astype(jnp.float32) * 1e-20), flat, tstart, count, chk, out, gout)
 print("done", flush=True)
+
+# lowp lanes (appended)
+for kw, tag in [({"lowp": True}, "fwd lowp (single-bf16 prefix)")]:
+    timeit(f"{tag}", looped(lambda fl, s, c, _kw=kw: B.blend_forward(
+        fl, s, c, **statics, **_kw)[0][0, 0, 0] * 1e-20), flat, tstart, count)
+for kw, tag in [({"lowp": True}, "bwd lowp (single-bf16 prefix+moments)")]:
+    timeit(f"{tag}", looped(lambda fl, s, c, ck, o, g, _kw=kw: B.blend_backward(
+        fl, s, c, ck, o, g, grad_dtype=jnp.bfloat16, **statics, **_kw
+    )[0, 0].astype(jnp.float32) * 1e-20), flat, tstart, count, chk, out, gout)
+print("done2", flush=True)

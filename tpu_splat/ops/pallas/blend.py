@@ -116,6 +116,26 @@ def _mm(a, b, precision=None):
     )
 
 
+def _lane_exclusive_cumsum_bf16(x, u_strict):
+    """Single-matmul exclusive lane prefix: LHS truncated to bf16 (~2^-8 relative on
+    the log values -> ~0.4% on the recovered cumprod). Half the MXU passes of the
+    hi/lo split; the `lowp` A/B lane."""
+    c = x.shape[-1]
+    if u_strict.shape[0] == c or c <= 128:
+        return _mm(x.astype(jnp.bfloat16).astype(jnp.float32), u_strict)
+    assert c % 128 == 0
+    parts = []
+    run = None
+    for i in range(c // 128):
+        xi = x[:, i * 128 : (i + 1) * 128]
+        ei = _mm(xi.astype(jnp.bfloat16).astype(jnp.float32), u_strict)
+        if run is not None:
+            ei = ei + run
+        run = ei[:, 127:128] + xi[:, 127:128]
+        parts.append(ei)
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _lane_exclusive_cumsum_f32(x, u_strict):
     """Exclusive lane prefix-sum via MXU at f32 fidelity: the 0/1 triangular RHS is
     EXACT in bf16, so splitting the LHS into hi + lo bf16 halves and summing two
@@ -362,6 +382,7 @@ def _fwd_kernel(
     block_scan: bool = True,
     sigma_mm: bool = False,
     base2: bool = False,
+    lowp: bool = False,
 ):
     t = pl.program_id(0)
     seg0 = seg_start_ref[t]
@@ -437,7 +458,8 @@ def _fwd_kernel(
         # base2: log/exp lower to log2/exp2 + a multiply; in base-2 log space the
         # multiplies vanish (the prefix SUM is base-agnostic).
         log_fn, exp_fn = (jnp.log2, jnp.exp2) if base2 else (jnp.log, jnp.exp)
-        cp_excl = exp_fn(_lane_exclusive_cumsum_f32(log_fn(one_m), u_strict))
+        pfx = _lane_exclusive_cumsum_bf16 if lowp else _lane_exclusive_cumsum_f32
+        cp_excl = exp_fn(pfx(log_fn(one_m), u_strict))
         t_excl = t_run * cp_excl
         t_incl = t_excl * one_m
         below = t_incl < TRANSMITTANCE_THRESHOLD
@@ -474,7 +496,7 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
-                              "interpret", "block_scan", "sigma_mm", "base2")
+                              "interpret", "block_scan", "sigma_mm", "base2", "lowp")
 )
 def blend_forward(
     flat: jax.Array,  # [16, M_pad] f32 (or bf16 in the hi/lo feature layout),
@@ -495,6 +517,8 @@ def blend_forward(
     # measured a WASH at garden scale (195.9 vs 191.6 ms full step, within tunnel
     # noise) — the kernel transcendentals pipeline behind the DMA/matmul work. Kept
     # as an A/B lane, default off.
+    lowp: bool = False,  # single-bf16 (non-split) prefix matmul: ~0.4% on the
+    # compositing weights; A/B lane
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [T, P, 8], chk [T, P, max_chunks])."""
     p = tile_size * tile_size
@@ -520,7 +544,7 @@ def blend_forward(
     out, chk = pl.pallas_call(
         functools.partial(_fwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, block_scan=block_scan, sigma_mm=sigma_mm,
-                          base2=base2),
+                          base2=base2, lowp=lowp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
@@ -557,6 +581,7 @@ def _bwd_kernel(
     basis_red: bool = True,
     sigma_mm: bool = False,
     base2: bool = False,
+    lowp: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -613,10 +638,16 @@ def _bwd_kernel(
         bth, btl = bth.astype(jnp.float32), btl.astype(jnp.float32)
         gth, gtl = gth.astype(jnp.float32), gtl.astype(jnp.float32)
 
-        def _mm_presplit(lh, ll, rhs):
-            rh, rl = _hl(rhs)
-            rhf = rh.astype(jnp.float32)
-            return _mm(lh, rhf) + _mm(lh, rl.astype(jnp.float32)) + _mm(ll, rhf)
+        if lowp:
+            def _mm_presplit(lh, ll, rhs):
+                # single bf16 matmul: rhs rounds at ~2^-8 pre-sum (inside the path's
+                # existing bf16 gradient budget)
+                return _mm(lh, rhs.astype(jnp.bfloat16).astype(jnp.float32))
+        else:
+            def _mm_presplit(lh, ll, rhs):
+                rh, rl = _hl(rhs)
+                rhf = rh.astype(jnp.float32)
+                return _mm(lh, rhf) + _mm(lh, rl.astype(jnp.float32)) + _mm(ll, rhf)
 
     # UNALIGNED reads: 128-rounded-down window + positive-equivalent dynamic roll
     # (same scheme as the forward)
@@ -675,7 +706,8 @@ def _bwd_kernel(
                                                base2=base2)
         # exclusive lane cumprod via exp(MXU prefix-sum of logs) — see _strict_upper
         log_fn, exp_fn = (jnp.log2, jnp.exp2) if base2 else (jnp.log, jnp.exp)
-        cp_excl = exp_fn(_lane_exclusive_cumsum_f32(log_fn(one_m), u_strict))
+        pfx = _lane_exclusive_cumsum_bf16 if lowp else _lane_exclusive_cumsum_f32
+        cp_excl = exp_fn(pfx(log_fn(one_m), u_strict))
         t_excl = t_in * cp_excl
         t_incl = t_excl * one_m
         # monotone t_incl: the stop or-scan collapses to the threshold predicate
@@ -865,7 +897,7 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
                               "interpret", "grad_dtype", "red_sum", "block_scan",
-                              "approx_recip", "basis_red", "sigma_mm", "base2")
+                              "approx_recip", "basis_red", "sigma_mm", "base2", "lowp")
 )
 def blend_backward(
     flat: jax.Array,  # [16, M_pad] f32 (or bf16 in the hi/lo feature layout)
@@ -887,11 +919,17 @@ def blend_backward(
     block_scan: bool = True,
     approx_recip: bool = True,  # ~2^-12 reciprocals on dL_da/g_op (-3.4 ms, inside budget)
     basis_red: bool = True,  # moment-form gradient reduction (two skinny MXU matmuls)
-    sigma_mm: bool = True,  # quadratic-form sigma on the MXU: the backward never needs
-    # per-pixel dx/dy under basis_red, so the sigma matmul wins here (46.8 vs 48.5 ms
-    # on chip, rel diff 3.8e-4; the FORWARD keeps the VPU form — there it LOST 31 vs 29,
-    # tools/profiling/profile_r3d.py)
+    sigma_mm: bool = False,  # quadratic-form sigma on the MXU: WON in the r3 aligned
+    # layout (46.8 vs 48.5 ms) but LOSES in the r5 unaligned bf16 layout (37.9 vs
+    # 47.0 ms isolated, tools/profiling/profile_r5h.py) — the VPU sigma chain fuses
+    # with the roll/upcast passes while the hi/lo basis matmuls do not
     base2: bool = False,  # base-2 transcendentals (see blend_forward) — wash, lane only
+    lowp: bool = True,  # single-bf16 (non-split) prefix + moment matmuls: 38.1 ->
+    # 32.9 ms isolated (profile_r5h.py). Adds ~2^-8 pre-sum rounding on t_excl and
+    # the moment RHS — inside the path's existing bf16 gradient budget (grads are
+    # bf16-gathered downstream anyway); guarded by the 2e-2 grad parity tests and
+    # the e2e PSNR floors. The FORWARD keeps the hi/lo split (lowp there measured
+    # SLOWER, 30.5 vs 24.6 — the prefix matmul is not its bottleneck).
 ) -> jax.Array:
     """Returns gflat [16, M_pad] in `grad_dtype`; columns never owned by any tile stay
     zero (zero-init via input-output aliasing + the in-kernel lane mask)."""
@@ -929,7 +967,7 @@ def blend_backward(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
                           approx_recip=approx_recip, basis_red=basis_red,
-                          sigma_mm=sigma_mm, base2=base2),
+                          sigma_mm=sigma_mm, base2=base2, lowp=lowp),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(flat.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
