@@ -110,3 +110,9 @@ for kw, tag in [({"lowp": True}, "bwd lowp (single-bf16 prefix+moments)")]:
         fl, s, c, ck, o, g, grad_dtype=jnp.bfloat16, **statics, **_kw
     )[0, 0].astype(jnp.float32) * 1e-20), flat, tstart, count, chk, out, gout)
 print("done2", flush=True)
+
+for kw, tag in [({"acc_store": True}, "bwd acc_store (vector stores)")]:
+    timeit(f"{tag}", looped(lambda fl, s, c, ck, o, g, _kw=kw: B.blend_backward(
+        fl, s, c, ck, o, g, grad_dtype=jnp.bfloat16, **statics, **_kw
+    )[0, 0].astype(jnp.float32) * 1e-20), flat, tstart, count, chk, out, gout)
+print("done3", flush=True)

@@ -582,6 +582,7 @@ def _bwd_kernel(
     sigma_mm: bool = False,
     base2: bool = False,
     lowp: bool = False,
+    acc_store: bool = False,
 ):
     del gzero_ref  # aliased storage; reads would race with our own writes
     t = pl.program_id(0)
@@ -822,19 +823,24 @@ def _bwd_kernel(
                 axis=0,
             )  # [16, chunk] (lane slices are chunk-aligned -> cheap relayout)
 
-        # wait for this slot's previous accumulator flight before overwriting gbuf
-        @pl.when(i >= 2)
-        def _():
-            acc_dma(slot, j + 2).wait()
-
         # The lane mask is a CORRECTNESS requirement of the unaligned layout, not
         # hygiene: tail lanes hold the next tile's (or sentinel junk) features, whose
         # g_op reciprocal / inf-feature products can produce non-finite values that
         # nothing downstream would mask once written past this tile's segment.
         # (The bf16 grad rounding happens once, at the staging-buffer cast in the
         # epilogue — same single-rounding numerics as the former per-chunk cast.)
-        gbuf[slot] = jnp.where(lane_valid, grads, 0.0)
-        acc_dma(slot, j).start()
+        if acc_store:
+            # direct dynamic-offset VMEM store (A/B vs the gbuf+DMA pipeline)
+            gacc[:, pl.ds(pl.multiple_of(j * chunk, 128), chunk)] = jnp.where(
+                lane_valid, grads, 0.0)
+        else:
+            # wait for this slot's previous accumulator flight before overwriting gbuf
+            @pl.when(i >= 2)
+            def _():
+                acc_dma(slot, j + 2).wait()
+
+            gbuf[slot] = jnp.where(lane_valid, grads, 0.0)
+            acc_dma(slot, j).start()
 
         return s_carry + total_u
 
@@ -845,13 +851,17 @@ def _bwd_kernel(
     # already-written values, and write ONE aligned [16, L+128] window. Zero-masked
     # lanes beyond this tile's segment clobber only columns whose owning (later) tile
     # rewrites them — grid steps execute sequentially in tile order.
-    @pl.when(nch >= 2)
-    def _():
-        acc_dma(1, 1).wait()
+    if not acc_store:
+        @pl.when(nch >= 2)
+        def _():
+            acc_dma(1, 1).wait()
+
+        @pl.when(nch >= 1)
+        def _():
+            acc_dma(0, 0).wait()
 
     @pl.when(nch >= 1)
     def _():
-        acc_dma(0, 0).wait()
         # roll runs on the f32 accumulator (tpu.dynamic_rotate is 32-bit only); the
         # grad_dtype cast happens once, into the staging buffer
         rolled = pltpu.roll(gacc[:], off, axis=1)
@@ -897,7 +907,8 @@ def _bwd_kernel(
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "grid_w", "tile_size", "max_chunks", "chunk",
                               "interpret", "grad_dtype", "red_sum", "block_scan",
-                              "approx_recip", "basis_red", "sigma_mm", "base2", "lowp")
+                              "approx_recip", "basis_red", "sigma_mm", "base2", "lowp",
+                              "acc_store")
 )
 def blend_backward(
     flat: jax.Array,  # [16, M_pad] f32 (or bf16 in the hi/lo feature layout)
@@ -924,6 +935,9 @@ def blend_backward(
     # 47.0 ms isolated, tools/profiling/profile_r5h.py) — the VPU sigma chain fuses
     # with the roll/upcast passes while the hi/lo basis matmuls do not
     base2: bool = False,  # base-2 transcendentals (see blend_forward) — wash, lane only
+    acc_store: bool = True,  # direct dynamic-offset VMEM stores for the per-chunk
+    # accumulator instead of the gbuf+DMA pipeline (32.9 -> 31.1 ms isolated,
+    # profile_r5h.py; value-exact — same numbers, different transport)
     lowp: bool = True,  # single-bf16 (non-split) prefix + moment matmuls: 38.1 ->
     # 32.9 ms isolated (profile_r5h.py). Adds ~2^-8 pre-sum rounding on t_excl and
     # the moment RHS — inside the path's existing bf16 gradient budget (grads are
@@ -967,7 +981,8 @@ def blend_backward(
         functools.partial(_bwd_kernel, grid_w=grid_w, tile_size=tile_size, chunk=chunk,
                           feat_bf16=feat_bf16, red_sum=red_sum, block_scan=block_scan,
                           approx_recip=approx_recip, basis_red=basis_red,
-                          sigma_mm=sigma_mm, base2=base2, lowp=lowp),
+                          sigma_mm=sigma_mm, base2=base2, lowp=lowp,
+                          acc_store=acc_store),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(flat.shape, grad_dtype),
         input_output_aliases={7: 0},  # gzero -> output (indices include scalar-prefetch args)
